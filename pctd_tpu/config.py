@@ -1,0 +1,151 @@
+"""Typed configuration tree for the whole framework.
+
+The reference has no config system (constants scattered through
+/root/reference/train.py:18-26 and construction sites model.py:244-265);
+here every knob lives in one dataclass tree with the reference's canonical
+values as defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PianoTreeSpec:
+    """Vocabulary / shape contract of the PianoTree grid representation.
+
+    Mirrors the grid built in the reference's dataset.py:98-105 and consumed by
+    ptvae.py:218-241: 32 time steps x <=16 simultaneous-note slots, pitch column
+    with sos/eos/pad specials, 5-bit binary duration with pad=2.
+    """
+
+    num_step: int = 32
+    max_simu_note: int = 16
+    max_pitch: int = 127
+    min_pitch: int = 0
+    pitch_sos: int = 128
+    pitch_eos: int = 129
+    pitch_pad: int = 130
+    dur_pad: int = 2
+    dur_width: int = 5
+
+    @property
+    def pitch_range(self) -> int:
+        """Number of pitch classes excluding pad (reference ptvae.py:236)."""
+        return self.max_pitch - self.min_pitch + 3
+
+    @property
+    def note_size(self) -> int:
+        return self.pitch_range + self.dur_width
+
+
+@dataclasses.dataclass(frozen=True)
+class ChordSpec:
+    """8 beat steps x 36-d expanded chord [root 1-hot | chroma | bass 1-hot]."""
+
+    num_step: int = 8
+    dim: int = 36
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """DisentangleVAE architecture (parity anchors: reference model.py:244-265,
+    train.py:31-37)."""
+
+    # latents
+    chd_z_dim: int = 256
+    txt_z_dim: int = 256
+
+    # chord encoder (RnnEncoder(36, 1024, 256), reference ptvae.py:11-29)
+    chd_enc_hidden: int = 1024
+
+    # texture encoder variant: "conv" (TextureEncoder, ptvae.py:90-122,
+    # canonical via model.init_model) or "pianotree" (PtvaeEncoder over the
+    # detrended grid, the train.py:32 "nozoth" config).
+    txt_encoder: str = "conv"
+
+    # conv texture encoder
+    txt_conv_channels: int = 10
+    txt_emb_size: int = 256
+    txt_enc_hidden: int = 1024
+
+    # pianotree texture encoder (PtvaeEncoder, ptvae.py:125-215); note feature
+    # is the 39-d detrended note (dataset.py:123-168): pitch_range=34, dur=5.
+    ptenc_max_pitch: int = 31            # 39 - 8, reference train.py:32
+    ptenc_min_pitch: int = 0
+    ptenc_note_emb: int = 128
+    ptenc_notes_hidden: int = 256
+    ptenc_time_hidden: int = 512
+
+    # chord decoder (RnnDecoder, ptvae.py:32-87)
+    chd_dec_hidden: int = 512
+    chd_dec_z_in: int = 256
+
+    # PianoTree decoder (PtvaeDecoder, ptvae.py:218-291; dur hid 64 from
+    # model.py:259-261)
+    note_emb_size: int = 128
+    dec_emb_hidden: int = 128
+    dec_time_hidden: int = 1024
+    dec_notes_hidden: int = 512
+    dec_z_in: int = 256
+    dec_dur_hidden: int = 64
+
+    # data shapes
+    pianotree: PianoTreeSpec = dataclasses.field(default_factory=PianoTreeSpec)
+    chord: ChordSpec = dataclasses.field(default_factory=ChordSpec)
+
+    # numerics: params stay f32; matmul-heavy paths may run in bf16.
+    compute_dtype: str = "float32"
+
+    @property
+    def z_dim(self) -> int:
+        return self.chd_z_dim + self.txt_z_dim
+
+    @property
+    def ptenc_pitch_range(self) -> int:
+        return self.ptenc_max_pitch - self.ptenc_min_pitch + 3
+
+    @property
+    def ptenc_note_size(self) -> int:
+        return self.ptenc_pitch_range + self.pianotree.dur_width
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference train.py:18-26, 50-52)."""
+
+    batch_size: int = 128
+    n_epoch: int = 6
+    lr: float = 1e-3
+    lr_decay: float = 0.9999
+    lr_min: float = 1e-5
+    clip_norm: float = 1.0
+    beta: float = 0.1
+    weights: Tuple[float, float] = (1.0, 0.5)
+    # (high, low) pairs for tfr1 / tfr2 / tfr3 (train.py:24)
+    tf_rates: Tuple[Tuple[float, float], ...] = ((0.6, 0.0), (0.5, 0.0), (0.5, 0.0))
+    # The reference's scheduled_sampling collapses within ~1 batch
+    # (train_utils.py:17-30, quirk documented in SURVEY.md §2); we expose the
+    # horizon so the published (high, low) pairs describe a real transition.
+    sched_horizon: float = 1.0
+    seed: int = 3345
+    weighted_dur: bool = False
+    # run dirs / checkpointing
+    result_root: str = "result"
+    save_every_epoch: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Corpus / tensorization settings (reference dataset.py:13-15, 265-281)."""
+
+    data_path: str = "data/POP09-PIANOROLL-4-bin-quantization"
+    index_path: str = "data/index.xlsx"
+    seed: int = 3345
+    portion: int = 8            # train:val = portion:1
+    shift_low: int = -6
+    shift_high: int = 5
+    num_bar: int = 2
+    ts: int = 4                 # beats per bar
+    contain_chord: bool = True
