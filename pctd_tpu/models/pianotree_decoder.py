@@ -1,0 +1,328 @@
+"""PianoTree hierarchical autoregressive decoder (time -> note -> duration).
+
+Capability of the reference PtvaeDecoder (ptvae.py:218-575): a 3-level
+decoder over a (32 steps x <=16 note slots x 5 dur bits) grid, with
+
+- time level: uni-GRU (hid 1024), input = [previous-frame summary (256),
+  z_in (256)], init hidden = Linear(z) (ptvae.py:430-491),
+- note level: uni-GRU (hid 512) over note slots, input = [frame hidden (1024),
+  previous note embedding (128)] (ptvae.py:370-428),
+- duration level: pitch head Linear(512 -> 130) + 5-step binary-digit GRU
+  (hid 64) with argmax feedback (ptvae.py:336-368),
+- frame-summary feedback: masked bi-GRU over the (teacher or predicted) note
+  embeddings (ptvae.py:446-453, 480-486).
+
+TPU-native structure: the reference's 32x15x5 nested Python loop of GRU-cell
+calls becomes nested ``lax.scan``s whose static per-sequence input projections
+are hoisted into single batched matmuls; ``pack_padded_sequence`` becomes
+masked scans; the per-step ``random.random()`` teacher-forcing coins become
+precomputed Bernoulli vectors, preserving the reference's *batch-global* coin
+semantics (SURVEY.md §7). Variable-length bookkeeping (eos tracking,
+ptvae.py:415-416,425) is carried as integer state inside the scan.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pctd_tpu.config import ModelConfig, PianoTreeSpec
+from pctd_tpu.ops import (gru_init, gru_cell_pre, bigru_last_masked)
+from pctd_tpu.ops.losses import cross_entropy_ignore
+from pctd_tpu.utils.init import dense_params, dense_apply, free_param
+
+
+class DecoderOutput(NamedTuple):
+    pitch_logits: jnp.ndarray   # (B, T, K-1, pitch_range)
+    dur_logits: jnp.ndarray     # (B, T, K-1, dur_width, 2)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init(key: jax.Array, cfg: ModelConfig,
+         note_emb: Optional[dict] = None) -> dict:
+    """Parameters. ``note_emb`` may be shared with an encoder
+    (reference ptvae.py:264-267 allows passing the embedding in)."""
+    spec = cfg.pianotree
+    ks = jax.random.split(key, 13)
+    p = {
+        "note_emb": note_emb if note_emb is not None else
+            dense_params(ks[0], spec.note_size, cfg.note_emb_size),
+        "z2hid": dense_params(ks[1], cfg.z_dim, cfg.dec_time_hidden),
+        "z2in": dense_params(ks[2], cfg.z_dim, cfg.dec_z_in),
+        "emb_fwd": gru_init(ks[3], cfg.note_emb_size, cfg.dec_emb_hidden),
+        "emb_bwd": gru_init(ks[4], cfg.note_emb_size, cfg.dec_emb_hidden),
+        "time_gru": gru_init(ks[5], cfg.dec_z_in + 2 * cfg.dec_emb_hidden,
+                             cfg.dec_time_hidden),
+        "time2notes": dense_params(ks[6], cfg.dec_time_hidden,
+                                   cfg.dec_notes_hidden),
+        "notes_gru": gru_init(ks[7], cfg.dec_time_hidden + cfg.note_emb_size,
+                              cfg.dec_notes_hidden),
+        "pitch_out": dense_params(ks[8], cfg.dec_notes_hidden,
+                                  spec.pitch_range),
+        "dur_gru": gru_init(ks[9], spec.dur_width, cfg.dec_dur_hidden),
+        "dur_hid": dense_params(ks[10], spec.pitch_range + cfg.dec_notes_hidden,
+                                cfg.dec_dur_hidden),
+        "dur_out": dense_params(ks[11], cfg.dec_dur_hidden, 2),
+        "init_input": free_param(jax.random.split(ks[12])[0],
+                                 (2 * cfg.dec_emb_hidden,)),
+        "dur_sos": free_param(jax.random.split(ks[12])[1], (spec.dur_width,)),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# grid helpers (reference ptvae.py:292-334)
+# ---------------------------------------------------------------------------
+
+def grid_lengths(x: jnp.ndarray, spec: PianoTreeSpec) -> jnp.ndarray:
+    """(B, T, K, 6) int grid -> (B, T) valid note counts: K minus pad slots
+    (reference ptvae.py:292-297; includes sos and eos)."""
+    return (spec.max_simu_note -
+            (x[..., 0] == spec.pitch_pad).sum(axis=-1)).astype(jnp.int32)
+
+
+def grid_to_multihot(x: jnp.ndarray, spec: PianoTreeSpec) -> jnp.ndarray:
+    """(B, T, K, 6) int grid -> (B, T, K, note_size) multi-hot: pitch one-hot
+    over pitch_range (pad index maps to all-zeros) ++ raw dur values
+    (reference ptvae.py:299-313)."""
+    pitch_oh = jax.nn.one_hot(x[..., 0], spec.pitch_range + 1,
+                              dtype=jnp.float32)[..., :spec.pitch_range]
+    return jnp.concatenate([pitch_oh, x[..., 1:].astype(jnp.float32)], axis=-1)
+
+
+def sos_token_raw(spec: PianoTreeSpec) -> jnp.ndarray:
+    """Raw sos note feature (reference ptvae.py:315-320)."""
+    sos = jnp.zeros((spec.note_size,))
+    sos = sos.at[spec.pitch_sos].set(1.0)
+    sos = sos.at[spec.pitch_range:].set(2.0)
+    return sos
+
+
+def emb_x(p: dict, x: jnp.ndarray,
+          spec: PianoTreeSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, T, K, 6) grid -> (embedded (B, T, K, emb), lengths (B, T))
+    (reference ptvae.py:531-535)."""
+    mh = grid_to_multihot(x, spec)
+    return dense_apply(p["note_emb"], mh), grid_lengths(x, spec)
+
+
+# ---------------------------------------------------------------------------
+# duration head: 5-step binary-digit GRU with argmax feedback
+# ---------------------------------------------------------------------------
+
+def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
+                spec: PianoTreeSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """note_h (B, notes_hidden), est_pitch (B, pitch_range) ->
+    (dur_logits (B, dur_width, 2), dur_bits (B, dur_width) argmax ints).
+
+    The feedback token is the reference's quirky 5-dim vector with a 1 at
+    index = previous predicted digit (0 or 1) (ptvae.py:322-326). 5 static
+    steps, unrolled (tiny recurrences; the matmuls are 5x64-wide).
+    """
+    B = note_h.shape[0]
+    W = spec.dur_width
+    h = dense_apply(p["dur_hid"], jnp.concatenate([note_h, est_pitch], -1))
+    token = jnp.broadcast_to(p["dur_sos"], (B, W))
+    logits, bits = [], []
+    for t in range(W):
+        h = gru_cell_pre(p["dur_gru"],
+                         token @ p["dur_gru"].w_ih + p["dur_gru"].b_ih, h)
+        out = dense_apply(p["dur_out"], h)                  # (B, 2)
+        logits.append(out)
+        ind = jnp.argmax(out, -1)
+        bits.append(ind)
+        token = jax.nn.one_hot(ind, W, dtype=note_h.dtype)
+    return jnp.stack(logits, axis=1), jnp.stack(bits, axis=1)
+
+
+def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,
+                   spec: PianoTreeSpec) -> jnp.ndarray:
+    """Predicted (pitch argmax, dur digits) -> raw note feature
+    (reference pitch_dur_ind_to_note_token, ptvae.py:328-334)."""
+    pitch_oh = jax.nn.one_hot(pitch_ind, spec.pitch_range, dtype=jnp.float32)
+    return jnp.concatenate([pitch_oh, dur_bits.astype(jnp.float32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# note level
+# ---------------------------------------------------------------------------
+
+def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
+                  x_emb_t: Optional[jnp.ndarray],
+                  coins2_t: Optional[jnp.ndarray], sos_emb: jnp.ndarray):
+    """Decode the <=K notes of one frame (reference ptvae.py:370-428).
+
+    frame_h:  (B, time_hidden) — the time-GRU hidden for this frame
+    x_emb_t:  (B, K, emb) ground-truth note embeddings or None (inference)
+    coins2_t: (K,) bool teacher coins (ignored when x_emb_t is None)
+    sos_emb:  (B, emb)
+
+    Returns (pitch_logits (B, K-1, P), dur_logits (B, K-1, W, 2),
+             pred_notes (B, K, emb), pred_lengths (B,)).
+    """
+    B = frame_h.shape[0]
+    K = spec.max_simu_note
+    emb_dim = sos_emb.shape[-1]
+    th = frame_h.shape[-1]
+
+    hid0 = dense_apply(p["time2notes"], frame_h)
+    token0 = x_emb_t[:, 0] if x_emb_t is not None else sos_emb
+
+    # hoist the frame part of the notes-GRU input projection out of the scan
+    w_frame = p["notes_gru"].w_ih[:th]
+    w_tok = p["notes_gru"].w_ih[th:]
+    gi_frame = frame_h @ w_frame + p["notes_gru"].b_ih      # (B, 3H)
+
+    if x_emb_t is not None:
+        gt_next = jnp.swapaxes(x_emb_t, 0, 1)[1:]           # (K-1, B, emb)
+        coins = coins2_t[1:]                                # (K-1,)
+    else:
+        gt_next = jnp.zeros((K - 1, B, emb_dim), frame_h.dtype)
+        coins = jnp.zeros((K - 1,), bool)
+
+    def step(carry, inp):
+        h, token, length = carry
+        gt_k, coin_k, k = inp
+        h = gru_cell_pre(p["notes_gru"], gi_frame + token @ w_tok, h)
+        est_pitch = dense_apply(p["pitch_out"], h)
+        dur_logits, dur_bits = _decode_dur(p, h, est_pitch, spec)
+        pitch_ind = jnp.argmax(est_pitch, -1)
+        pred_emb = dense_apply(p["note_emb"],
+                               _pred_note_raw(pitch_ind, dur_bits, spec))
+        is_eos = (pitch_ind == spec.pitch_eos) & (length == 0)
+        length = jnp.where(is_eos, k, length)
+        token_next = jnp.where(coin_k, gt_k, pred_emb)
+        return (h, token_next, length), (est_pitch, dur_logits, pred_emb)
+
+    ks = jnp.arange(1, K, dtype=jnp.int32)
+    init = (hid0, token0, jnp.zeros((B,), jnp.int32))
+    (_, _, lengths), (pitch_o, dur_o, pred_embs) = jax.lax.scan(
+        step, init, (gt_next, coins, ks))
+
+    lengths = jnp.where(lengths == 0, K - 1, lengths)
+    pred_notes = jnp.concatenate(
+        [token0[:, None], jnp.swapaxes(pred_embs, 0, 1)], axis=1)  # (B,K,emb)
+    return (jnp.swapaxes(pitch_o, 0, 1), jnp.swapaxes(dur_o, 0, 1),
+            pred_notes, lengths)
+
+
+# ---------------------------------------------------------------------------
+# time level
+# ---------------------------------------------------------------------------
+
+def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
+           x_emb: Optional[jnp.ndarray] = None,
+           lengths: Optional[jnp.ndarray] = None,
+           coins1: Optional[jnp.ndarray] = None,
+           coins2: Optional[jnp.ndarray] = None) -> DecoderOutput:
+    """Full decode (reference ptvae.py:430-491).
+
+    z: (B, z_dim). Teacher-forced mode: pass x_emb (B, T, K, emb) +
+    lengths (B, T) + coins1 (T,) + coins2 (T, K). Inference: leave them None
+    (pure argmax-feedback autoregression, == tfr1 = tfr2 = 0 with no gt).
+    """
+    spec = cfg.pianotree
+    B = z.shape[0]
+    T = spec.num_step
+    inference = x_emb is None
+
+    h0 = dense_apply(p["z2hid"], z)                          # (B, time_hid)
+    z_in = dense_apply(p["z2in"], z)                         # (B, z_in)
+
+    sos_emb = dense_apply(p["note_emb"], sos_token_raw(spec))
+    sos_emb = jnp.broadcast_to(sos_emb, (B, sos_emb.shape[-1]))
+
+    # summarize ground-truth frames for teacher tokens: one masked bi-GRU
+    # over all B*T frames at once (reference ptvae.py:446-453)
+    if not inference:
+        K = spec.max_simu_note
+        flat = x_emb.reshape(B * T, K, x_emb.shape[-1])
+        x_summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"], flat,
+                                      lengths.reshape(B * T))
+        x_summary = x_summary.reshape(B, T, -1)              # (B, T, 2*emb_h)
+        x_sum_steps = jnp.swapaxes(x_summary, 0, 1)
+        x_emb_steps = jnp.swapaxes(x_emb, 0, 1)              # (T, B, K, emb)
+        c1 = coins1
+        c2 = coins2
+    else:
+        d2 = 2 * cfg.dec_emb_hidden
+        x_sum_steps = jnp.zeros((T, B, d2), z.dtype)
+        x_emb_steps = None
+        c1 = jnp.zeros((T,), bool)
+        c2 = jnp.zeros((T, spec.max_simu_note), bool)
+
+    token0 = jnp.broadcast_to(p["init_input"],
+                              (B, p["init_input"].shape[-1]))
+
+    # hoist z_in's share of the time-GRU input projection
+    tok_dim = token0.shape[-1]
+    w_tok = p["time_gru"].w_ih[:tok_dim]
+    gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
+
+    def step(carry, inp):
+        h, token = carry
+        if inference:
+            x_sum_t, c1_t, c2_t = inp
+            x_emb_t = None
+        else:
+            x_sum_t, c1_t, c2_t, x_emb_t = inp
+        h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
+        pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
+            p, spec, h, x_emb_t, c2_t, sos_emb)
+        pred_summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"],
+                                         pred_notes, pred_lens)
+        token_next = jnp.where(c1_t, x_sum_t, pred_summary)
+        return (h, token_next), (pitch_o, dur_o)
+
+    xs = (x_sum_steps, c1, c2) if inference else \
+        (x_sum_steps, c1, c2, x_emb_steps)
+    (_, _), (pitch_outs, dur_outs) = jax.lax.scan(step, (h0, token0), xs)
+    return DecoderOutput(jnp.swapaxes(pitch_outs, 0, 1),
+                         jnp.swapaxes(dur_outs, 0, 1))
+
+
+def draw_coins(key: jax.Array, cfg: ModelConfig, tfr1, tfr2):
+    """Batch-global per-step Bernoulli teacher coins (reference semantics:
+    random.random() < tfr at ptvae.py:476/420)."""
+    spec = cfg.pianotree
+    k1, k2 = jax.random.split(key)
+    coins1 = jax.random.uniform(k1, (spec.num_step,)) < tfr1
+    coins2 = jax.random.uniform(
+        k2, (spec.num_step, spec.max_simu_note)) < tfr2
+    return coins1, coins2
+
+
+# ---------------------------------------------------------------------------
+# losses and output conversion
+# ---------------------------------------------------------------------------
+
+def recon_loss(x: jnp.ndarray, out: DecoderOutput, spec: PianoTreeSpec,
+               weights=(1.0, 0.5), weighted_dur: bool = False):
+    """Pitch + duration reconstruction loss (reference ptvae.py:498-529):
+    CE over grid slots 1..K-1 with pad targets ignored."""
+    gt_pitch = x[:, :, 1:, 0]
+    pitch_loss = cross_entropy_ignore(out.pitch_logits, gt_pitch,
+                                      spec.pitch_pad)
+    gt_dur = x[:, :, 1:, 1:]
+    if not weighted_dur:
+        dur_loss = cross_entropy_ignore(out.dur_logits, gt_dur, spec.dur_pad)
+    else:
+        w = jnp.array([1.0, 0.6, 0.4, 0.3, 0.3])
+        per_bit = [cross_entropy_ignore(out.dur_logits[..., i, :],
+                                        gt_dur[..., i], spec.dur_pad)
+                   for i in range(spec.dur_width)]
+        dur_loss = sum(w[i] * per_bit[i] for i in range(spec.dur_width))
+    loss = weights[0] * pitch_loss + weights[1] * dur_loss
+    return loss, pitch_loss, dur_loss
+
+
+def output_to_grid(out: DecoderOutput) -> jnp.ndarray:
+    """Argmax logits -> estimated grid (B, T, K-1, 6)
+    (reference output_to_numpy, ptvae.py:537-544)."""
+    est_pitch = jnp.argmax(out.pitch_logits, -1)[..., None]
+    est_dur = jnp.argmax(out.dur_logits, -1)
+    return jnp.concatenate([est_pitch, est_dur], axis=-1)
