@@ -1,0 +1,208 @@
+"""Jitted train/eval steps + the epoch-level training harness.
+
+Capability of the reference TrainingInterface (amc_dl/torch_plus/module.py:
+60-213), redesigned TPU-first:
+
+- ONE compiled program per phase: batch tensorization (augmentation, grid,
+  chord expansion, detrend), schedule evaluation, forward, loss, backward,
+  clip, Adam update and LR decay all live inside a single jitted step with
+  donated state — zero host sync in the hot loop beyond feeding raw uint8
+  segments.
+- RNG: a base key folded with the step counter gives reproducible,
+  checkpoint-resumable randomness (replacing torch's global RNG and
+  random.random() coins).
+- Checkpointing: orbax saves (params, opt_state, step, key) — full resume,
+  which the reference lacks (it saves model weights only, module.py:179-183).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pctd_tpu.config import ModelConfig, TrainConfig
+from pctd_tpu.data import tensorize as tz
+from pctd_tpu.data.detrend import detrend_pianotree_jnp
+from pctd_tpu.data.loaders import SegmentBatches
+from pctd_tpu.models import disentangle_vae as dv
+from pctd_tpu.train import schedules
+from pctd_tpu.train.logging import MetricWriters, RunPaths
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray      # scalar int32
+    key: jnp.ndarray       # base PRNG key
+
+
+def init_state(key: jax.Array, mcfg: ModelConfig,
+               tcfg: TrainConfig) -> Tuple[TrainState,
+                                           optax.GradientTransformation]:
+    k_params, k_base = jax.random.split(key)
+    params = dv.init_params(k_params, mcfg)
+    tx = schedules.make_optimizer(tcfg)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                      k_base), tx
+
+
+def batch_features(pr, chord, shift, mcfg: ModelConfig):
+    """Raw uint8 segments -> model inputs, on device (see data.tensorize)."""
+    pr_s = tz.shift_pr(pr.astype(jnp.int32), shift)
+    pr_mat = tz.pr_to_dur_matrix(pr_s)
+    x = tz.dur_matrix_to_grid(pr_mat, mcfg.pianotree)
+    c = tz.expand_chord_batch(chord, shift)
+    dt_x = (detrend_pianotree_jnp(x, c)
+            if mcfg.txt_encoder == "pianotree" else None)
+    return x, c, pr_mat, dt_x
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation):
+    """Returns jitted (state, pr, chord, shift) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, pr, chord, shift):
+        x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
+        sched = schedules.train_params_at(state.step, tcfg)
+        key = jax.random.fold_in(state.key, state.step)
+
+        def loss_fn(params):
+            return dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
+                           tfr1=sched["tfr1"], tfr2=sched["tfr2"],
+                           tfr3=sched["tfr3"], beta=sched["beta"],
+                           weights=tcfg.weights,
+                           weighted_dur=tcfg.weighted_dur)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, state.key), \
+            metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(mcfg: ModelConfig, tcfg: TrainConfig):
+    """Validation loss at the current schedule position (the reference's eval
+    re-runs the training forward incl. latent sampling under no_grad,
+    module.py:161-177)."""
+
+    def eval_fn(params, step, key, pr, chord, shift):
+        x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
+        sched = schedules.train_params_at(step, tcfg)
+        _, metrics = dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
+                             tfr1=sched["tfr1"], tfr2=sched["tfr2"],
+                             tfr3=sched["tfr3"], beta=sched["beta"],
+                             weights=tcfg.weights,
+                             weighted_dur=tcfg.weighted_dur)
+        return metrics
+
+    return jax.jit(eval_fn)
+
+
+@dataclass
+class Trainer:
+    """Epoch loop: train -> eval -> checkpoint (epoch/best/final), with
+    per-batch metric writing (capability of reference TrainingInterface.run,
+    module.py:195-213)."""
+
+    mcfg: ModelConfig
+    tcfg: TrainConfig
+    train_batches: SegmentBatches
+    val_batches: SegmentBatches
+    name: str = "disvae"
+    run_paths: Optional[RunPaths] = None
+    writers: Optional[MetricWriters] = None
+    log_every: int = 1
+
+    def __post_init__(self):
+        self.state, self.tx = init_state(
+            jax.random.PRNGKey(self.tcfg.seed), self.mcfg, self.tcfg)
+        self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
+        self.eval_step = make_eval_step(self.mcfg, self.tcfg)
+        self.train_counter = 0
+        self.val_counter = 0
+
+    # -- phases ----------------------------------------------------------------
+
+    def train_epoch(self) -> Dict[str, float]:
+        acc = {k: 0.0 for k in dv.METRIC_NAMES}
+        n = 0
+        for batch in self.train_batches.epoch():
+            self.state, metrics = self.train_step(
+                self.state, jnp.asarray(batch["pr"]),
+                jnp.asarray(batch["chord"]), jnp.asarray(batch["shift"]))
+            if self.writers and self.train_counter % self.log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self.writers.write_task("train", host, self.train_counter)
+                for k, v in host.items():
+                    acc[k] += v
+            else:
+                acc["loss"] += float(metrics["loss"])
+            self.train_counter += 1
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
+    def eval_epoch(self) -> Dict[str, float]:
+        acc = {k: 0.0 for k in dv.METRIC_NAMES}
+        n = 0
+        for i, batch in enumerate(self.val_batches.epoch()):
+            key = jax.random.fold_in(
+                jax.random.fold_in(self.state.key, 0x5EED), i)
+            metrics = self.eval_step(
+                self.state.params, self.state.step, key,
+                jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
+                jnp.asarray(batch["shift"]))
+            host = {k: float(v) for k, v in metrics.items()}
+            if self.writers:
+                self.writers.write_task("val", host, self.val_counter)
+            for k, v in host.items():
+                acc[k] += v
+            self.val_counter += 1
+            n += 1
+        return {k: v / max(n, 1) for k, v in acc.items()}
+
+    # -- checkpointing -----------------------------------------------------------
+
+    def save_checkpoint(self, tag: str):
+        if self.run_paths is None:
+            return
+        from pctd_tpu.train.checkpoint import save_state
+        save_state(self.run_paths.model_path(self.name, tag), self.state)
+
+    def restore_checkpoint(self, path: str):
+        from pctd_tpu.train.checkpoint import restore_state
+        self.state = restore_state(path, self.state)
+
+    # -- driver ------------------------------------------------------------------
+
+    def run(self, n_epoch: Optional[int] = None) -> Dict[str, float]:
+        n_epoch = n_epoch or self.tcfg.n_epoch
+        best_val = float("inf")
+        last = {}
+        for epoch in range(n_epoch):
+            t0 = time.time()
+            train_m = self.train_epoch()
+            val_m = self.eval_epoch()
+            dt = time.time() - t0
+            if self.tcfg.save_every_epoch:
+                self.save_checkpoint("epoch")
+            if val_m["loss"] < best_val:
+                best_val = val_m["loss"]
+                self.save_checkpoint("valid")
+            mins, secs = divmod(int(dt), 60)
+            print(f"Epoch: {epoch + 1:02} | Time: {mins}m {secs}s",
+                  flush=True)
+            print(f"\tTrain Loss: {train_m['loss']:.3f}", flush=True)
+            print(f"\t Valid. Loss: {val_m['loss']:.3f}", flush=True)
+            last = {"train": train_m, "val": val_m,
+                    "epoch_seconds": dt}
+        self.save_checkpoint("final")
+        return last

@@ -1,0 +1,130 @@
+"""End-to-end training on a synthetic corpus: corpus assembly, loaders,
+jitted train step, decreasing loss, schedules, checkpoint round-trip."""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pctd_tpu.config import DataConfig, ModelConfig, TrainConfig
+from pctd_tpu.data.synthetic import synthetic_corpora, synthetic_song
+from pctd_tpu.data.loaders import make_loaders
+from pctd_tpu.train import schedules
+from pctd_tpu.train.trainer import (Trainer, init_state, make_train_step,
+                                    make_eval_step)
+
+SMALL = dataclasses.replace(
+    ModelConfig(), chd_z_dim=16, txt_z_dim=16, chd_enc_hidden=32,
+    txt_emb_size=32, txt_enc_hidden=32, chd_dec_hidden=32, chd_dec_z_in=16,
+    note_emb_size=32, dec_emb_hidden=16, dec_time_hidden=48,
+    dec_notes_hidden=24, dec_z_in=16, dec_dur_hidden=8)
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    cfg = dataclasses.replace(DataConfig(), portion=4)
+    return synthetic_corpora(n_songs=6, seed=1, n_bars=8, cfg=cfg)
+
+
+def test_synthetic_song_structure():
+    rng = np.random.RandomState(0)
+    music = synthetic_song(rng, n_bars=8)
+    data_track, indicator, db_pos = music.prepare_data(num_bar=2)
+    assert len(db_pos) == 8
+    assert indicator.sum() >= 5           # most bars start a valid window
+    assert indicator[-1] == 0             # last bar can't start a 2-bar window
+    mel, acc, chord = data_track[0]
+    assert chord.shape == (4, 14)
+    assert acc is not None and acc.shape[1] == 8
+
+
+def test_corpus_and_loader_shapes(corpora):
+    train, val = corpora
+    assert len(train) > len(val) > 0
+    assert train.pr.dtype == np.uint8
+    tl, vl = make_loaders(train, val, batch_size=8, seed=0)
+    batch = next(tl.epoch())
+    assert batch["pr"].shape == (8, 32, 128)
+    assert batch["chord"].shape == (8, 8, 14)
+    assert batch["shift"].min() >= -6 and batch["shift"].max() <= 5
+    vbatch = next(vl.epoch())
+    assert (vbatch["shift"] == 0).all()
+    # index space covers all (segment, shift) pairs
+    assert tl.num_index == len(train) * 12
+
+
+def test_schedules_reference_shape():
+    tcfg = TrainConfig()
+    p0 = schedules.train_params_at(jnp.asarray(0), tcfg)
+    p_late = schedules.train_params_at(jnp.asarray(50), tcfg)
+    # reference quirk preserved: transition completes within ~1 step
+    assert float(p0["tfr1"]) > 0.59
+    assert float(p_late["tfr1"]) < 1e-3
+    assert float(p0["beta"]) < 1e-3
+    assert abs(float(p_late["beta"]) - 0.1) < 1e-6
+    # configurable horizon stretches the transition
+    tcfg2 = dataclasses.replace(tcfg, sched_horizon=100.0)
+    mid = schedules.train_params_at(jnp.asarray(50), tcfg2)
+    assert 0.25 < float(mid["tfr1"]) < 0.35  # half way: (0.6 - 0) * 0.5
+
+
+def test_train_step_decreases_loss(corpora):
+    train, val = corpora
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8, lr=2e-3)
+    state, tx = init_state(jax.random.PRNGKey(0), SMALL, tcfg)
+    step = make_train_step(SMALL, tcfg, tx)
+    tl, _ = make_loaders(train, val, batch_size=8, seed=0)
+    losses = []
+    for epoch in range(3):
+        for batch in tl.epoch():
+            state, metrics = step(state, jnp.asarray(batch["pr"]),
+                                  jnp.asarray(batch["chord"]),
+                                  jnp.asarray(batch["shift"]))
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.85
+    assert int(state.step) == len(losses)
+
+
+def test_trainer_run_and_checkpoint(tmp_path, corpora):
+    train, val = corpora
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
+    tl, vl = make_loaders(train, val, batch_size=8, seed=0)
+    from pctd_tpu.train.logging import RunPaths, MetricWriters
+    from pctd_tpu.models.disentangle_vae import METRIC_NAMES
+    paths = RunPaths(base_dir=str(tmp_path), with_date=False)
+    writers = MetricWriters(METRIC_NAMES, paths.writer_path,
+                            use_tensorboard=False)
+    tr = Trainer(SMALL, tcfg, tl, vl, run_paths=paths, writers=writers)
+    out = tr.run(n_epoch=1)
+    assert np.isfinite(out["train"]["loss"])
+    assert np.isfinite(out["val"]["loss"])
+    assert os.path.exists(os.path.join(paths.writer_path, "metrics.csv"))
+
+    # checkpoint round-trip restores params + step exactly
+    final = paths.model_path("disvae", "final")
+    from pctd_tpu.train.checkpoint import restore_state
+    restored = restore_state(final, tr.state)
+    assert int(restored.step) == int(tr.state.step)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(tr.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pianotree_variant_train_step(corpora):
+    train, val = corpora
+    cfg = dataclasses.replace(SMALL, txt_encoder="pianotree",
+                              ptenc_note_emb=16, ptenc_notes_hidden=12,
+                              ptenc_time_hidden=16)
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8)
+    state, tx = init_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = make_train_step(cfg, tcfg, tx)
+    tl, _ = make_loaders(train, val, batch_size=8, seed=0)
+    batch = next(tl.epoch())
+    state, metrics = step(state, jnp.asarray(batch["pr"]),
+                          jnp.asarray(batch["chord"]),
+                          jnp.asarray(batch["shift"]))
+    assert np.isfinite(float(metrics["loss"]))
