@@ -1,0 +1,135 @@
+"""Benchmark: full VAE train-step throughput on the canonical configuration.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The primary metric is training throughput in 2-bar segments/sec/chip on the
+canonical DisentangleVAE config (conv texture encoder, batch 128), with the
+jitted step doing on-device tensorization + forward + backward + clip + Adam.
+``vs_baseline`` is the ratio against the measured PyTorch reference on this
+host (BASELINE_MEASURED.json; the reference publishes no numbers).
+
+Secondary numbers (tensorization throughput, pure sampling decode) ride along
+in "extra".
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from pctd_tpu.config import ModelConfig, TrainConfig
+    from pctd_tpu.train.trainer import init_state, make_train_step
+    from __graft_entry__ import _example_batch
+
+    mcfg = ModelConfig()
+    tcfg = TrainConfig(batch_size=batch_size)
+    state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, tx)
+
+    pr, chord, shift = _example_batch(batch_size, seed=0)
+    pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
+
+    # compile + warmup
+    state, metrics = step(state, pr, chord, shift)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, pr, chord, shift)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    return batch_size / dt, dt, float(metrics["loss"])
+
+
+def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from pctd_tpu.config import PianoTreeSpec
+    from pctd_tpu.data.tensorize import tensorize_batch
+    from __graft_entry__ import _example_batch
+
+    pr, chord, shift = _example_batch(batch_size, seed=1)
+    pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
+    out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
+                          with_detrend=True)
+    jax.block_until_ready(out["x"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
+                              with_detrend=True)
+    jax.block_until_ready(out["x"])
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch_size / dt
+
+
+def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
+    """Pure autoregressive decode (inference mode) throughput."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from pctd_tpu.config import ModelConfig
+    from pctd_tpu.models import disentangle_vae as dv
+
+    mcfg = ModelConfig()
+    params = dv.init_params(jax.random.PRNGKey(0), mcfg)
+    z_chd = jax.random.normal(jax.random.PRNGKey(1),
+                              (batch_size, mcfg.chd_z_dim))
+    z_rhy = jax.random.normal(jax.random.PRNGKey(2),
+                              (batch_size, mcfg.txt_z_dim))
+    decode = jax.jit(partial(dv.decode_z, cfg=mcfg))
+    est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
+    jax.block_until_ready(est)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
+    jax.block_until_ready(est)
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch_size / dt
+
+
+def main():
+    import jax
+
+    baseline = None
+    bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            baseline = json.load(f)
+
+    seg_per_sec, step_sec, loss = _bench_train_step()
+    tens_per_sec = _bench_tensorize()
+    dec_per_sec = _bench_sampler()
+
+    ref_rate = (baseline or {}).get("train_step", {}).get(
+        "segments_per_sec", None)
+    vs = seg_per_sec / ref_rate if ref_rate else None
+
+    print(json.dumps({
+        "metric": "train_segments_per_sec_per_chip",
+        "value": round(seg_per_sec, 2),
+        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=128)",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "extra": {
+            "step_seconds": round(step_sec, 5),
+            "final_loss": round(loss, 4),
+            "tensorize_segments_per_sec": round(tens_per_sec, 1),
+            "sample_decode_segments_per_sec": round(dec_per_sec, 2),
+            "device": str(jax.devices()[0]),
+            "baseline_source": "BASELINE_MEASURED.json (torch reference on this host CPU)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

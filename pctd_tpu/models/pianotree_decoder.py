@@ -120,23 +120,27 @@ def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
     (dur_logits (B, dur_width, 2), dur_bits (B, dur_width) argmax ints).
 
     The feedback token is the reference's quirky 5-dim vector with a 1 at
-    index = previous predicted digit (0 or 1) (ptvae.py:322-326). 5 static
-    steps, unrolled (tiny recurrences; the matmuls are 5x64-wide).
+    index = previous predicted digit (0 or 1) (ptvae.py:322-326). Expressed
+    as a length-5 lax.scan so the HLO stays small — this head runs inside the
+    note scan inside the time scan, and unrolling it multiplies the program
+    size of everything above it.
     """
     B = note_h.shape[0]
     W = spec.dur_width
-    h = dense_apply(p["dur_hid"], jnp.concatenate([note_h, est_pitch], -1))
-    token = jnp.broadcast_to(p["dur_sos"], (B, W))
-    logits, bits = [], []
-    for t in range(W):
+    h0 = dense_apply(p["dur_hid"], jnp.concatenate([note_h, est_pitch], -1))
+    token0 = jnp.broadcast_to(p["dur_sos"], (B, W)).astype(note_h.dtype)
+
+    def step(carry, _):
+        h, token = carry
         h = gru_cell_pre(p["dur_gru"],
                          token @ p["dur_gru"].w_ih + p["dur_gru"].b_ih, h)
         out = dense_apply(p["dur_out"], h)                  # (B, 2)
-        logits.append(out)
         ind = jnp.argmax(out, -1)
-        bits.append(ind)
         token = jax.nn.one_hot(ind, W, dtype=note_h.dtype)
-    return jnp.stack(logits, axis=1), jnp.stack(bits, axis=1)
+        return (h, token), (out, ind)
+
+    (_, _), (logits, bits) = jax.lax.scan(step, (h0, token0), None, length=W)
+    return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(bits, 0, 1)
 
 
 def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,

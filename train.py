@@ -1,0 +1,104 @@
+"""Train the chord/texture-disentangled VAE (TPU-native).
+
+Capability of the reference train.py, with an actual CLI instead of
+module-level constants (reference train.py:18-26). Defaults reproduce the
+canonical configuration: conv texture encoder (the runnable
+DisentangleVAE.init_model config, reference model.py:244-265); pass
+``--variant pianotree`` for the train.py:32 "nozoth" configuration.
+
+With no POP909 npz corpus on disk a synthetic corpus is generated so the
+pipeline runs end to end out of the box.
+
+Examples:
+    python train.py --epochs 6 --batch-size 128
+    python train.py --variant pianotree --synthetic-songs 40
+    python train.py --parallel            # data-parallel over all devices
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--beta", type=float, default=0.1)
+    ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=3345)
+    ap.add_argument("--variant", choices=["conv", "pianotree"],
+                    default="conv")
+    ap.add_argument("--name", default="disvae")
+    ap.add_argument("--data-path",
+                    default="data/POP09-PIANOROLL-4-bin-quantization")
+    ap.add_argument("--synthetic-songs", type=int, default=40,
+                    help="synthetic corpus size when no npz data exists")
+    ap.add_argument("--sched-horizon", type=float, default=1.0)
+    ap.add_argument("--parallel", action="store_true",
+                    help="data-parallel over all visible devices")
+    ap.add_argument("--result-dir", default=".")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pctd_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from pctd_tpu.data.loaders import make_loaders
+    from pctd_tpu.models.disentangle_vae import METRIC_NAMES
+    from pctd_tpu.train.logging import MetricWriters, RunPaths
+    from pctd_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(txt_encoder=args.variant)
+    tcfg = TrainConfig(batch_size=args.batch_size, n_epoch=args.epochs,
+                       lr=args.lr, beta=args.beta, clip_norm=args.clip,
+                       seed=args.seed, sched_horizon=args.sched_horizon)
+    dcfg = DataConfig(data_path=args.data_path, seed=args.seed)
+
+    if os.path.isdir(args.data_path):
+        from pctd_tpu.data.corpus import prepare_dataset
+        train_c, val_c = prepare_dataset(dcfg)
+        print(f"corpus: {len(train_c)} train / {len(val_c)} val segments "
+              f"(npz at {args.data_path})")
+    else:
+        from pctd_tpu.data.synthetic import synthetic_corpora
+        train_c, val_c = synthetic_corpora(n_songs=args.synthetic_songs,
+                                           seed=args.seed, cfg=dcfg)
+        print(f"corpus: {len(train_c)} train / {len(val_c)} val segments "
+              f"(synthetic, {args.synthetic_songs} songs)")
+
+    tl, vl = make_loaders(train_c, val_c, args.batch_size,
+                          dcfg.shift_low, dcfg.shift_high, seed=args.seed)
+    paths = RunPaths(readme_fn=__file__, base_dir=args.result_dir)
+    writers = MetricWriters(METRIC_NAMES, paths.writer_path)
+
+    trainer = Trainer(mcfg, tcfg, tl, vl, name=args.name, run_paths=paths,
+                      writers=writers)
+
+    if args.parallel and jax.device_count() > 1:
+        from pctd_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                       replicate)
+        mesh = make_mesh()
+        trainer.state = replicate(mesh, trainer.state)
+        base_step = make_parallel_train_step(mcfg, tcfg, trainer.tx, mesh)
+        from pctd_tpu.parallel import shard_batch
+
+        def sharded_step(state, pr, chord, shift):
+            pr, chord, shift = shard_batch(mesh, pr, chord, shift)
+            return base_step(state, pr, chord, shift)
+
+        trainer.train_step = sharded_step
+        print(f"data-parallel over {jax.device_count()} devices")
+
+    print(f"devices: {jax.devices()}")
+    result = trainer.run()
+    with open(os.path.join(paths.log_path, "final_metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("Model saved.")
+
+
+if __name__ == "__main__":
+    main()
