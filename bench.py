@@ -25,6 +25,9 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
     import jax
     import jax.numpy as jnp
 
+    from pctd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pctd_tpu.config import ModelConfig, TrainConfig
     from pctd_tpu.train.trainer import init_state, make_train_step
     from __graft_entry__ import _example_batch

@@ -53,6 +53,34 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
+def confuse_pr_mat(key: jax.Array, pr_mat: jnp.ndarray) -> jnp.ndarray:
+    """Pitch-neighbor corruption regularizer: every non-zero entry copies its
+    value onto a random +-1 pitch neighbor, originals preserved (capability of
+    the reference's unused confuse_prmat, model.py:22-29 — there invoked on
+    nonzero() indices; here expressed densely for jit as two masked shifts)."""
+    eps_up = jax.random.bernoulli(key, 0.5, pr_mat.shape)
+    up_src = jnp.where(eps_up, pr_mat, 0.0)
+    down_src = jnp.where(eps_up, 0.0, pr_mat)
+    shifted_up = jnp.concatenate(
+        [jnp.zeros_like(up_src[..., :1]), up_src[..., :-1]], axis=-1)
+    shifted_down = jnp.concatenate(
+        [down_src[..., 1:], jnp.zeros_like(down_src[..., :1])], axis=-1)
+    out = jnp.where(shifted_up != 0, shifted_up, pr_mat)
+    return jnp.where(shifted_down != 0, shifted_down, out)
+
+
+def get_chroma(pr_mat: jnp.ndarray) -> jnp.ndarray:
+    """Log-chroma summary of a duration matrix, per beat (capability of the
+    reference's unused get_chroma, model.py:31-40): (B, 32, 128) -> (B, 8, 12).
+    """
+    B = pr_mat.shape[0]
+    padded = jnp.concatenate(
+        [pr_mat, jnp.zeros((B, pr_mat.shape[1], 4), pr_mat.dtype)], axis=-1)
+    c = padded.reshape(B, pr_mat.shape[1], -1, 12).sum(axis=-2)
+    c = c.reshape(B, 8, 4, 12).sum(axis=-2)
+    return jnp.log(c + 1.0)
+
+
 def _texture_dist(params: dict, cfg: ModelConfig, pr_mat: jnp.ndarray,
                   dt_x: Optional[jnp.ndarray]) -> DiagNormal:
     if cfg.txt_encoder == "conv":
@@ -286,3 +314,29 @@ class DisentangleVAE:
 
     def inference(self, pr_mat, c, sample=False, key=None, dt_x=None):
         return inference(self.params, self.cfg, pr_mat, c, sample, key, dt_x)
+
+    # -- persistence (capability of reference load_model, module.py:46-53) --
+
+    def save(self, path: str):
+        from pctd_tpu.train.checkpoint import save_state
+        save_state(path, self.params)
+
+    def load(self, path: str) -> "DisentangleVAE":
+        from pctd_tpu.train.checkpoint import restore_state
+        self.params = restore_state(path, self.params)
+        return self
+
+    @staticmethod
+    def from_train_checkpoint(path: str,
+                              cfg: Optional[ModelConfig] = None
+                              ) -> "DisentangleVAE":
+        """Load the params from a full TrainState checkpoint written by the
+        Trainer (models/<name>_{epoch,valid,final})."""
+        from pctd_tpu.train.checkpoint import restore_state
+        from pctd_tpu.train.trainer import init_state
+        from pctd_tpu.config import TrainConfig
+
+        cfg = cfg or ModelConfig()
+        template, _ = init_state(jax.random.PRNGKey(0), cfg, TrainConfig())
+        state = restore_state(path, template)
+        return DisentangleVAE(cfg, state.params)

@@ -29,14 +29,27 @@ from pctd_tpu.utils.init import (conv2d_params, dense_params, dense_apply)
 # conv variant
 # ---------------------------------------------------------------------------
 
+def _conv_dims(cfg: ModelConfig):
+    """Conv output (H, W) and fc1 input size. The reference hardcodes 8 GRU
+    steps and fc1 = Linear(ch * 29, 1000) for 32-step segments
+    (ptvae.py:100,114); generalized here so the 32-bar stretch config
+    (num_step=128) works: the raveled conv map is regrouped into 8 GRU steps
+    of ch*H*W/8 features (identical to the reference at num_step=32)."""
+    H = (cfg.pianotree.num_step - 4) // 4 + 1
+    W = (128 - 12 + 1) // 4
+    fc1_in = cfg.txt_conv_channels * H * W // 8
+    return H, W, fc1_in
+
+
 def init_conv(key: jax.Array, cfg: ModelConfig) -> dict:
     ks = jax.random.split(key, 6)
     ch = cfg.txt_conv_channels
     emb = cfg.txt_emb_size
     h = cfg.txt_enc_hidden
+    _, _, fc1_in = _conv_dims(cfg)
     return {
         "conv": conv2d_params(ks[0], 1, ch, (4, 12)),
-        "fc1": dense_params(ks[1], ch * 29, 1000),
+        "fc1": dense_params(ks[1], fc1_in, 1000),
         "fc2": dense_params(ks[2], 1000, emb),
         "gru_fwd": gru_init(ks[3], emb, h),
         "gru_bwd": gru_init(ks[4], emb, h),

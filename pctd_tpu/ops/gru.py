@@ -117,21 +117,58 @@ def bigru_last(p_fwd: GRUParams, p_bwd: GRUParams,
                xs: jax.Array) -> jax.Array:
     """Bidirectional GRU over full-length sequences; returns [h_fwd, h_bwd]
     concatenated (B, 2H) — the torch ``gru(x)[-1]`` + transpose + view idiom
-    (reference ptvae.py:22-25)."""
-    _, h_f = gru_scan(p_fwd, xs)
-    _, h_b = gru_scan(p_bwd, xs, reverse=True)
-    return jnp.concatenate([h_f, h_b], axis=-1)
+    (reference ptvae.py:22-25).
+
+    Both directions run in ONE scan: the reversed sequence is stacked on the
+    batch axis and the two directions' weights form a leading-dim-2 batched
+    matmul. Halves the number of while loops (TPU compile time scales with
+    loop count) and doubles the matmul batch (better MXU utilization).
+    """
+    return bigru_last_masked(p_fwd, p_bwd, xs, None)
 
 
 def bigru_last_masked(p_fwd: GRUParams, p_bwd: GRUParams,
-                      xs: jax.Array, lengths: jax.Array) -> jax.Array:
+                      xs: jax.Array,
+                      lengths: Optional[jax.Array]) -> jax.Array:
     """Bidirectional GRU with per-sample valid lengths (pack_padded parity).
 
-    xs: (B, T, D); lengths: (B,) int. Returns (B, 2H).
+    xs: (B, T, D); lengths: (B,) int or None (full length). Returns (B, 2H):
+    forward final hidden at step len-1, backward final hidden after scanning
+    t = len-1 .. 0 (both match torch pack_padded_sequence final states).
     """
-    T = xs.shape[1]
-    t_idx = jnp.arange(T)[None, :]
-    mask = t_idx < lengths[:, None]             # (B, T)
-    _, h_f = gru_scan(p_fwd, xs, mask=mask)
-    _, h_b = gru_scan(p_bwd, xs, mask=mask, reverse=True)
-    return jnp.concatenate([h_f, h_b], axis=-1)
+    B, T, D = xs.shape
+    H = p_fwd.hidden_dim
+    w_ih = jnp.stack([p_fwd.w_ih, p_bwd.w_ih])          # (2, D, 3H)
+    w_hh = jnp.stack([p_fwd.w_hh, p_bwd.w_hh])          # (2, H, 3H)
+    b_ih = jnp.stack([p_fwd.b_ih, p_bwd.b_ih])          # (2, 3H)
+    b_hh = jnp.stack([p_fwd.b_hh, p_bwd.b_hh])
+
+    xs2 = jnp.stack([xs, jnp.flip(xs, axis=1)])          # (2, B, T, D)
+    gi = jnp.einsum("dbti,dij->dbtj", xs2, w_ih) + b_ih[:, None, None, :]
+    gi_t = jnp.moveaxis(gi, 2, 0)                        # (T, 2, B, 3H)
+
+    if lengths is not None:
+        t_idx = jnp.arange(T)[None, :]
+        mask = t_idx < lengths[:, None]                  # (B, T)
+        mask2 = jnp.stack([mask, jnp.flip(mask, axis=1)])  # (2, B, T)
+        mask_t = jnp.moveaxis(mask2, 2, 0)[..., None]    # (T, 2, B, 1)
+        xs_scan = (gi_t, mask_t)
+    else:
+        xs_scan = (gi_t, None)
+
+    def step(h, inp):
+        gi_s, m = inp                                    # (2, B, 3H)
+        gh = jnp.einsum("dbh,dhj->dbj", h, w_hh) + b_hh[:, None, :]
+        i_r, i_z, i_n = jnp.split(gi_s, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        if m is not None:
+            h_new = jnp.where(m, h_new, h)
+        return h_new, None
+
+    h0 = jnp.zeros((2, B, H), xs.dtype)
+    h_final, _ = jax.lax.scan(step, h0, xs_scan)
+    return jnp.concatenate([h_final[0], h_final[1]], axis=-1)

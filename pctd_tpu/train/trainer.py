@@ -64,29 +64,63 @@ def batch_features(pr, chord, shift, mcfg: ModelConfig):
 
 
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation):
-    """Returns jitted (state, pr, chord, shift) -> (state, metrics)."""
+                    tx: optax.GradientTransformation, split: bool = True):
+    """Returns (state, pr, chord, shift) -> (state, metrics), fully on device.
 
-    def step_fn(state: TrainState, pr, chord, shift):
-        x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
-        sched = schedules.train_params_at(state.step, tcfg)
-        key = jax.random.fold_in(state.key, state.step)
+    ``split=True`` (default) compiles the step as THREE programs —
+    tensorize, loss+grad, optimizer update — instead of one. All three stay
+    on device with no host sync between them (dispatch is async), so steady-
+    state throughput is identical; what it buys is compile time: this TPU
+    stack's compile latency grows superlinearly with program size (the fused
+    single program takes >20 min to compile vs ~7 min for grad alone), and
+    the three sub-programs are each individually cacheable.
 
-        def loss_fn(params):
-            return dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
+    ``split=False`` gives the single fused program (used by shard_map
+    multi-chip steps, where the collective must live with the grads).
+    """
+
+    def grad_fn(params, step, key, x, c, pr_mat, dt_x):
+        sched = schedules.train_params_at(step, tcfg)
+
+        def loss_fn(p):
+            return dv.loss(p, mcfg, key, x, c, pr_mat, dt_x,
                            tfr1=sched["tfr1"], tfr2=sched["tfr2"],
                            tfr3=sched["tfr3"], beta=sched["beta"],
                            weights=tcfg.weights,
                            weighted_dur=tcfg.weighted_dur)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            params)
+        return metrics, grads
+
+    def update_fn(state: TrainState, grads):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, state.key), \
-            metrics
+        return TrainState(params, opt_state, state.step + 1, state.key)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if not split:
+        def fused(state: TrainState, pr, chord, shift):
+            x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
+            key = jax.random.fold_in(state.key, state.step)
+            metrics, grads = grad_fn(state.params, state.step, key, x, c,
+                                     pr_mat, dt_x)
+            return update_fn(state, grads), metrics
+
+        return jax.jit(fused, donate_argnums=(0,))
+
+    tens_jit = jax.jit(partial(batch_features, mcfg=mcfg))
+    grad_jit = jax.jit(grad_fn)
+    upd_jit = jax.jit(update_fn, donate_argnums=(0,))
+    fold_jit = jax.jit(lambda key, step: jax.random.fold_in(key, step))
+
+    def step_fn(state: TrainState, pr, chord, shift):
+        x, c, pr_mat, dt_x = tens_jit(pr, chord, shift)
+        key = fold_jit(state.key, state.step)
+        metrics, grads = grad_jit(state.params, state.step, key, x, c,
+                                  pr_mat, dt_x)
+        return upd_jit(state, grads), metrics
+
+    return step_fn
 
 
 def make_eval_step(mcfg: ModelConfig, tcfg: TrainConfig):

@@ -1,0 +1,23 @@
+"""Persistent XLA compilation cache setup.
+
+The deeply-scanned decoder makes TPU compiles expensive (minutes for the
+fwd+bwd train step) while execution is tens of milliseconds; a persistent
+cache makes every process after the first start instantly. Called by
+train.py / bench.py / __graft_entry__ before any jit executes.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    import jax
+
+    path = path or os.environ.get(
+        "PCTD_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

@@ -46,6 +46,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pctd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pctd_tpu.config import DataConfig, ModelConfig, TrainConfig
     from pctd_tpu.data.loaders import make_loaders
     from pctd_tpu.models.disentangle_vae import METRIC_NAMES
