@@ -41,15 +41,19 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
 
     # compile + warmup
-    state, metrics = step(state, pr, chord, shift)
-    jax.block_until_ready(metrics["loss"])
+    for _ in range(2):
+        state, metrics = step(state, pr, chord, shift)
+        float(metrics["loss"])
 
+    # honest timing: host-sync the loss scalar every step (block_until_ready
+    # alone under-reports on this stack's async relay)
     t0 = time.perf_counter()
+    loss = 0.0
     for _ in range(n_steps):
         state, metrics = step(state, pr, chord, shift)
-    jax.block_until_ready(metrics["loss"])
+        loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
-    return batch_size / dt, dt, float(metrics["loss"])
+    return batch_size / dt, dt, loss
 
 
 def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
@@ -64,12 +68,12 @@ def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
     out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
                           with_detrend=True)
-    jax.block_until_ready(out["x"])
+    float(out["x"][0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
                               with_detrend=True)
-    jax.block_until_ready(out["x"])
+        float(out["x"][0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
     return batch_size / dt
 
@@ -91,11 +95,11 @@ def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
                               (batch_size, mcfg.txt_z_dim))
     decode = jax.jit(partial(dv.decode_z, cfg=mcfg))
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
-    jax.block_until_ready(est)
+    float(est[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(n_iters):
         est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
-    jax.block_until_ready(est)
+        float(est[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
     return batch_size / dt
 
