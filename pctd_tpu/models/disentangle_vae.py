@@ -31,6 +31,7 @@ from pctd_tpu.models import pianotree_decoder as pt_dec
 from pctd_tpu.models import texture_encoder as txt_enc
 from pctd_tpu.ops import DiagNormal, kl_std_normal
 from pctd_tpu.ops.losses import cross_entropy_mean
+from pctd_tpu.utils import precision
 
 METRIC_NAMES = ("loss", "recon_loss", "pl", "dl", "kl_loss", "kl_chd",
                 "kl_rhy", "chord_loss", "root_loss", "chroma_loss",
@@ -89,6 +90,18 @@ def _texture_dist(params: dict, cfg: ModelConfig, pr_mat: jnp.ndarray,
     return txt_enc.apply_pianotree(params["txt_enc"], dt_x, lengths)
 
 
+def _apply_precision(params: dict, cfg: ModelConfig, *floats):
+    """Cast params (Gaussian heads excluded) + float inputs to the compute
+    dtype; bf16 runs the MXU path at 2x (see utils.precision). The Gaussian
+    distributions and losses stay f32 via dtype promotion at the heads."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype == jnp.float32:
+        return (params,) + floats
+    params = precision.cast_params(params, dtype)
+    return (params,) + tuple(None if f is None else f.astype(dtype)
+                             for f in floats)
+
+
 def run(params: dict, cfg: ModelConfig, key: jax.Array, x: jnp.ndarray,
         c: jnp.ndarray, pr_mat: jnp.ndarray, dt_x: Optional[jnp.ndarray],
         tfr1, tfr2, tfr3, sample: bool = True):
@@ -100,20 +113,23 @@ def run(params: dict, cfg: ModelConfig, key: jax.Array, x: jnp.ndarray,
     """
     spec = cfg.pianotree
     k_chd, k_rhy, k_coins, k_coin3 = jax.random.split(key, 4)
+    params, c, pr_mat, dt_x = _apply_precision(params, cfg, c, pr_mat, dt_x)
+    dtype = jnp.dtype(cfg.compute_dtype)
 
     x_emb, lengths = pt_dec.emb_x(params["dec"], x, spec)
     dist_chd = chd_enc.apply(params["chd_enc"], c)
     dist_rhy = _texture_dist(params, cfg, pr_mat, dt_x)
     z_chd = dist_chd.sample_or_mean(k_chd, sample)
     z_rhy = dist_rhy.sample_or_mean(k_rhy, sample)
-    z = jnp.concatenate([z_chd, z_rhy], axis=-1)
+    z = jnp.concatenate([z_chd, z_rhy], axis=-1).astype(dtype)
 
     coins1, coins2 = pt_dec.draw_coins(k_coins, cfg, tfr1, tfr2)
     out = pt_dec.decode(params["dec"], cfg, z, x_emb, lengths, coins1, coins2)
 
     coins3 = jax.random.uniform(k_coin3, (cfg.chord.num_step,)) < tfr3
     recon_root, recon_chroma, recon_bass = chd_dec.apply(
-        params["chd_dec"], z_chd, c, coins3, cfg.chord.num_step)
+        params["chd_dec"], z_chd.astype(dtype), c, coins3,
+        cfg.chord.num_step)
     return out, dist_chd, dist_rhy, recon_root, recon_chroma, recon_bass
 
 
@@ -156,6 +172,7 @@ def loss(params: dict, cfg: ModelConfig, key: jax.Array, x, c, pr_mat,
 def encode(params: dict, cfg: ModelConfig, pr_mat, c, dt_x=None
            ) -> Tuple[DiagNormal, DiagNormal]:
     """Posterior distributions (reference inference_encode, model.py:117)."""
+    params, c, pr_mat, dt_x = _apply_precision(params, cfg, c, pr_mat, dt_x)
     return (chd_enc.apply(params["chd_enc"], c),
             _texture_dist(params, cfg, pr_mat, dt_x))
 
@@ -164,6 +181,7 @@ def decode_z(params: dict, cfg: ModelConfig, z_chd, z_rhy) -> jnp.ndarray:
     """Pure autoregressive decode of latents -> estimated grid
     (B, 32, K-1, 6) (reference inference_decode, model.py:124-131)."""
     z = jnp.concatenate([z_chd, z_rhy], axis=-1)
+    params, z = _apply_precision(params, cfg, z)
     out = pt_dec.decode(params["dec"], cfg, z)
     return pt_dec.output_to_grid(out)
 

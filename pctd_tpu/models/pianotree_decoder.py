@@ -106,7 +106,8 @@ def emb_x(p: dict, x: jnp.ndarray,
           spec: PianoTreeSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, K, 6) grid -> (embedded (B, T, K, emb), lengths (B, T))
     (reference ptvae.py:531-535)."""
-    mh = grid_to_multihot(x, spec)
+    w_dtype = p["note_emb"]["w"].dtype
+    mh = grid_to_multihot(x, spec).astype(w_dtype)
     return dense_apply(p["note_emb"], mh), grid_lengths(x, spec)
 
 
@@ -139,6 +140,9 @@ def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
         token = jax.nn.one_hot(ind, W, dtype=note_h.dtype)
         return (h, token), (out, ind)
 
+    # unroll=1: measured on v5e, unrolling this level does not change step
+    # time (the step is MXU-bound, not loop-overhead-bound) but balloons
+    # compile time ~1.5x
     (_, _), (logits, bits) = jax.lax.scan(step, (h0, token0), None, length=W)
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(bits, 0, 1)
 
@@ -195,8 +199,9 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
         est_pitch = dense_apply(p["pitch_out"], h)
         dur_logits, dur_bits = _decode_dur(p, h, est_pitch, spec)
         pitch_ind = jnp.argmax(est_pitch, -1)
-        pred_emb = dense_apply(p["note_emb"],
-                               _pred_note_raw(pitch_ind, dur_bits, spec))
+        pred_raw = _pred_note_raw(pitch_ind, dur_bits, spec).astype(
+            p["note_emb"]["w"].dtype)
+        pred_emb = dense_apply(p["note_emb"], pred_raw)
         is_eos = (pitch_ind == spec.pitch_eos) & (length == 0)
         length = jnp.where(is_eos, k, length)
         token_next = jnp.where(coin_k, gt_k, pred_emb)
@@ -237,7 +242,9 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     h0 = dense_apply(p["z2hid"], z)                          # (B, time_hid)
     z_in = dense_apply(p["z2in"], z)                         # (B, z_in)
 
-    sos_emb = dense_apply(p["note_emb"], sos_token_raw(spec))
+    sos_emb = dense_apply(p["note_emb"],
+                          sos_token_raw(spec).astype(
+                              p["note_emb"]["w"].dtype))
     sos_emb = jnp.broadcast_to(sos_emb, (B, sos_emb.shape[-1]))
 
     # summarize ground-truth frames for teacher tokens: one masked bi-GRU

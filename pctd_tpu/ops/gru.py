@@ -83,6 +83,7 @@ def gru_scan(
     h0: Optional[jax.Array] = None,      # (B, H)
     mask: Optional[jax.Array] = None,    # (B, T) bool; True = valid step
     reverse: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full GRU over time. Returns (ys (B, T, H), h_final (B, H)).
 
@@ -109,7 +110,8 @@ def gru_scan(
             h_new = jnp.where(m, h_new, h)
         return h_new, h_new
 
-    h_final, ys = jax.lax.scan(step, h0, xs_scan, reverse=reverse)
+    h_final, ys = jax.lax.scan(step, h0, xs_scan, reverse=reverse,
+                               unroll=unroll)
     return jnp.swapaxes(ys, 0, 1), h_final
 
 
@@ -129,7 +131,8 @@ def bigru_last(p_fwd: GRUParams, p_bwd: GRUParams,
 
 def bigru_last_masked(p_fwd: GRUParams, p_bwd: GRUParams,
                       xs: jax.Array,
-                      lengths: Optional[jax.Array]) -> jax.Array:
+                      lengths: Optional[jax.Array],
+                      unroll: int = 1) -> jax.Array:
     """Bidirectional GRU with per-sample valid lengths (pack_padded parity).
 
     xs: (B, T, D); lengths: (B,) int or None (full length). Returns (B, 2H):
@@ -170,5 +173,5 @@ def bigru_last_masked(p_fwd: GRUParams, p_bwd: GRUParams,
         return h_new, None
 
     h0 = jnp.zeros((2, B, H), xs.dtype)
-    h_final, _ = jax.lax.scan(step, h0, xs_scan)
+    h_final, _ = jax.lax.scan(step, h0, xs_scan, unroll=unroll)
     return jnp.concatenate([h_final[0], h_final[1]], axis=-1)

@@ -12,8 +12,9 @@ import jax.numpy as jnp
 
 
 def _nll(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Per-element negative log likelihood. logits (..., C), targets (...)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    """Per-element negative log likelihood. logits (..., C), targets (...).
+    Loss math always runs in f32 (bf16 compute paths cast here)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return -tgt
 
