@@ -21,7 +21,10 @@ import time
 import numpy as np
 
 
-def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
+def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
+                      compute_dtype: str = "float32"):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +35,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128):
     from pctd_tpu.train.trainer import init_state, make_train_step
     from __graft_entry__ import _example_batch
 
-    mcfg = ModelConfig()
+    mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype)
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -122,23 +125,30 @@ def main():
         with open(bpath) as f:
             baseline = json.load(f)
 
-    seg_per_sec, step_sec, step_sec_sync, loss = _bench_train_step()
+    # production config: bf16 MXU path, f32 Gaussian heads/losses/master
+    seg_bf16, step_bf16, step_bf16_sync, loss_bf16 = _bench_train_step(
+        compute_dtype="bfloat16")
+    # parity config: full f32 (exact oracle-parity numerics)
+    seg_f32, step_f32, _, _ = _bench_train_step(compute_dtype="float32")
     tens_per_sec = _bench_tensorize()
     dec_per_sec = _bench_sampler()
 
     ref_rate = (baseline or {}).get("train_step", {}).get(
         "segments_per_sec", None)
-    vs = seg_per_sec / ref_rate if ref_rate else None
+    vs = seg_bf16 / ref_rate if ref_rate else None
 
     print(json.dumps({
         "metric": "train_segments_per_sec_per_chip",
-        "value": round(seg_per_sec, 2),
-        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=128)",
+        "value": round(seg_bf16, 2),
+        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=128, "
+                "bf16 compute / f32 heads+losses)",
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
-            "step_seconds": round(step_sec, 5),
-            "step_seconds_per_step_hostsync": round(step_sec_sync, 5),
-            "final_loss": round(loss, 4),
+            "step_seconds_bf16": round(step_bf16, 5),
+            "step_seconds_bf16_hostsync": round(step_bf16_sync, 5),
+            "train_segments_per_sec_f32": round(seg_f32, 2),
+            "step_seconds_f32": round(step_f32, 5),
+            "final_loss_bf16": round(loss_bf16, 4),
             "tensorize_segments_per_sec": round(tens_per_sec, 1),
             "sample_decode_segments_per_sec": round(dec_per_sec, 2),
             "device": str(jax.devices()[0]),
