@@ -67,7 +67,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     return batch_size / dt, dt, dt_sync, loss
 
 
-def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
+def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
     import jax
     import jax.numpy as jnp
 
@@ -77,14 +77,19 @@ def _bench_tensorize(batch_size: int = 4096, n_iters: int = 10):
 
     pr, chord, shift = _example_batch(batch_size, seed=1)
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
-    out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
-                          with_detrend=True)
+    f = jax.jit(lambda p, c, s: tensorize_batch(
+        p, c, s, spec=PianoTreeSpec(), with_detrend=True))
+    out = f(pr, chord, shift)
     float(out["x"][0, 0, 0, 0])
+    # accumulate-chain so every iteration really executes, with one final sync
+    # (per-iteration host syncs are dominated by ~30 ms tunnel RTT)
+    add = jax.jit(lambda a, o: a + o["pr_mat"].sum())
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = tensorize_batch(pr, chord, shift, spec=PianoTreeSpec(),
-                              with_detrend=True)
-        float(out["x"][0, 0, 0, 0])
+        out = f(pr, chord, shift)
+        acc = add(acc, out)
+    float(acc)
     dt = (time.perf_counter() - t0) / n_iters
     return batch_size / dt
 
@@ -107,10 +112,13 @@ def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
     decode = jax.jit(partial(dv.decode_z, cfg=mcfg))
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
     float(est[0, 0, 0, 0])
+    add = jax.jit(lambda a, e: a + e.sum())
+    acc = jnp.zeros((), jnp.int32)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
-        float(est[0, 0, 0, 0])
+        acc = add(acc, est)
+    float(acc)
     dt = (time.perf_counter() - t0) / n_iters
     return batch_size / dt
 

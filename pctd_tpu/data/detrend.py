@@ -35,6 +35,24 @@ SEMI_TABLE = np.array([0, 0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 1], dtype=np.int32)
 NSTATE_TABLE = np.array([[1, 0], [0, 1], [2, 3], [4, 5]], dtype=np.int32)
 
 
+def select_roll(x: jnp.ndarray, shift: jnp.ndarray, low: int, high: int,
+                axis: int = -1) -> jnp.ndarray:
+    """Per-sample circular roll as a select over STATIC rolls.
+
+    TPU gathers along the minor (lane) dimension are pathologically slow
+    (measured: 25 s for a (4096, 32, 128) per-sample take_along_axis vs <10 ms
+    for this formulation); static rolls are native lane rotations, and the
+    roll range here is tiny (<= 12 semitones). shift values outside
+    [low, high] produce zeros (precondition, asserted in tests).
+    """
+    cond_shape = shift.shape + (1,) * (x.ndim - 1 - shift.ndim + 1)
+    acc = jnp.zeros_like(x)
+    for s in range(low, high + 1):
+        rolled = jnp.roll(x, s, axis=axis) if s else x
+        acc = jnp.where((shift == s).reshape(cond_shape), rolled, acc)
+    return acc
+
+
 def _pair_state(lo, hi):
     """map_dic {(1,0):0, (0,1):1, (0,0):2, (1,1):3} in arithmetic form
     (reference dataset.py:134, 170-183); defined for binary chroma."""
@@ -67,9 +85,14 @@ def _detrend_core(grids, chords, xp, one_hot):
     chroma = chords[..., 12:24].astype(itype)
 
     # root-relative chroma: rolled[j] = chroma[(j + root) % 12]
-    j = xp.arange(12, dtype=itype)
-    src = (j[None, None, :] + root[..., None]) % 12              # (N, 8, 12)
-    rolled = xp.take_along_axis(chroma, src, axis=-1)
+    # == roll(chroma, -root); on device this is a select over static rolls
+    # (lane-dim gathers are pathologically slow on TPU, see select_roll)
+    if xp is np:
+        j = xp.arange(12, dtype=itype)
+        src = (j[None, None, :] + root[..., None]) % 12          # (N, 8, 12)
+        rolled = xp.take_along_axis(chroma, src, axis=-1)
+    else:
+        rolled = select_roll(chroma, (-root) % 12, 0, 11)
     states = _chroma_states(rolled, xp)                          # (N, 8, 7)
 
     pitch = grids[..., 0].reshape(N, 8, 4, 16)                   # beat-major

@@ -22,26 +22,22 @@ import jax
 import jax.numpy as jnp
 
 from pctd_tpu.config import PianoTreeSpec
-from pctd_tpu.data.detrend import detrend_pianotree_jnp
+from pctd_tpu.data.detrend import detrend_pianotree_jnp, select_roll
 
 
-def shift_pr(pr: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample circular pitch roll. pr (B, T, 128), shift (B,) int.
-
-    Equivalent to np.roll(pr_b, shift_b, axis=-1) per sample
-    (reference converter.py:65-68).
-    """
-    B = pr.shape[0]
-    p = jnp.arange(128, dtype=jnp.int32)
-    src = (p[None, :] - shift[:, None].astype(jnp.int32)) % 128   # (B, 128)
-    src = jnp.broadcast_to(src[:, None, :], pr.shape)
-    return jnp.take_along_axis(pr, src, axis=-1)
+def shift_pr(pr: jnp.ndarray, shift: jnp.ndarray, low: int = -6,
+             high: int = 6) -> jnp.ndarray:
+    """Per-sample circular pitch roll. pr (B, T, 128), shift (B,) int in
+    [low, high]. Equivalent to np.roll(pr_b, shift_b, axis=-1) per sample
+    (reference converter.py:65-68)."""
+    return select_roll(pr, shift.astype(jnp.int32), low, high)
 
 
-def shift_mel_pr(mel: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+def shift_mel_pr(mel: jnp.ndarray, shift: jnp.ndarray, low: int = -6,
+                 high: int = 6) -> jnp.ndarray:
     """Per-sample melody-roll transposition: roll cols 0..127, keep the
     sustain/rest control cols (reference converter.py:71-76)."""
-    pitched = shift_pr(mel[..., :128], shift)
+    pitched = shift_pr(mel[..., :128], shift, low, high)
     return jnp.concatenate([pitched, mel[..., 128:]], axis=-1)
 
 
@@ -130,14 +126,10 @@ def expand_chord_batch(chord_raw: jnp.ndarray,
                        shift: jnp.ndarray) -> jnp.ndarray:
     """(B, 8, 14) raw [root, chroma(12), bass] + (B,) shift -> (B, 8, 36)
     expanded chord (reference converter.py:150-164)."""
-    B, S, _ = chord_raw.shape
     sh = shift.astype(jnp.int32)
     root = (chord_raw[..., 0].astype(jnp.int32) + sh[:, None]) % 12
     bass = (chord_raw[..., 13].astype(jnp.int32) + sh[:, None]) % 12
-    j = jnp.arange(12, dtype=jnp.int32)
-    src = (j[None, None, :] - sh[:, None, None]) % 12
-    src = jnp.broadcast_to(src, (B, S, 12))
-    chroma = jnp.take_along_axis(chord_raw[..., 1:13], src, axis=-1)
+    chroma = select_roll(chord_raw[..., 1:13], sh % 12, 0, 11)
     r1 = jax.nn.one_hot(root, 12, dtype=jnp.float32)
     b1 = jax.nn.one_hot(bass, 12, dtype=jnp.float32)
     return jnp.concatenate([r1, chroma.astype(jnp.float32), b1], axis=-1)
