@@ -155,6 +155,10 @@ class Trainer:
     run_paths: Optional[RunPaths] = None
     writers: Optional[MetricWriters] = None
     log_every: int = 1
+    # capture a jax.profiler trace of steps [profile_start, profile_stop)
+    # of epoch 0 into <run>/profile (SURVEY.md §5: the reference has no
+    # tracing at all; wall-clock epoch time only)
+    profile_steps: Optional[tuple] = None
 
     def __post_init__(self):
         self.state, self.tx = init_state(
@@ -163,18 +167,35 @@ class Trainer:
         self.eval_step = make_eval_step(self.mcfg, self.tcfg)
         self.train_counter = 0
         self.val_counter = 0
+        # one stacked transfer per batch instead of 11 scalar host syncs
+        # (each sync costs a tunnel round-trip on remote-TPU setups)
+        self._stack = jax.jit(
+            lambda m: jnp.stack([m[k] for k in dv.METRIC_NAMES]))
+
+    def _metrics_to_host(self, metrics) -> Dict[str, float]:
+        vals = np.asarray(self._stack(metrics))
+        return dict(zip(dv.METRIC_NAMES, map(float, vals)))
 
     # -- phases ----------------------------------------------------------------
 
     def train_epoch(self) -> Dict[str, float]:
         acc = {k: 0.0 for k in dv.METRIC_NAMES}
         n = 0
+        prof = self.profile_steps
         for batch in self.train_batches.epoch():
+            if prof and self.train_counter == prof[0] and self.run_paths:
+                jax.profiler.start_trace(
+                    f"{self.run_paths.log_path}/profile")
             self.state, metrics = self.train_step(
                 self.state, jnp.asarray(batch["pr"]),
                 jnp.asarray(batch["chord"]), jnp.asarray(batch["shift"]))
+            if prof and self.train_counter == prof[1] and self.run_paths:
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                prof = None
             if self.writers and self.train_counter % self.log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
+                host = self._metrics_to_host(metrics)
                 self.writers.write_task("train", host, self.train_counter)
                 for k, v in host.items():
                     acc[k] += v
@@ -194,7 +215,7 @@ class Trainer:
                 self.state.params, self.state.step, key,
                 jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
                 jnp.asarray(batch["shift"]))
-            host = {k: float(v) for k, v in metrics.items()}
+            host = self._metrics_to_host(metrics)
             if self.writers:
                 self.writers.write_task("val", host, self.val_counter)
             for k, v in host.items():

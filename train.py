@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--parallel", action="store_true",
                     help="data-parallel over all visible devices")
     ap.add_argument("--result-dir", default=".")
+    ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                    default="float32")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="capture a jax.profiler trace of N early steps")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,8 @@ def main():
     from pctd_tpu.train.logging import MetricWriters, RunPaths
     from pctd_tpu.train.trainer import Trainer
 
-    mcfg = ModelConfig(txt_encoder=args.variant)
+    mcfg = ModelConfig(txt_encoder=args.variant,
+                       compute_dtype=args.compute_dtype)
     tcfg = TrainConfig(batch_size=args.batch_size, n_epoch=args.epochs,
                        lr=args.lr, beta=args.beta, clip_norm=args.clip,
                        seed=args.seed, sched_horizon=args.sched_horizon)
@@ -79,7 +84,9 @@ def main():
     writers = MetricWriters(METRIC_NAMES, paths.writer_path)
 
     trainer = Trainer(mcfg, tcfg, tl, vl, name=args.name, run_paths=paths,
-                      writers=writers)
+                      writers=writers,
+                      profile_steps=(2, 2 + args.profile) if args.profile
+                      else None)
 
     if args.parallel and jax.device_count() > 1:
         from pctd_tpu.parallel import (make_mesh, make_parallel_train_step,
