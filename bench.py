@@ -109,7 +109,7 @@ def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
                               (batch_size, mcfg.chd_z_dim))
     z_rhy = jax.random.normal(jax.random.PRNGKey(2),
                               (batch_size, mcfg.txt_z_dim))
-    decode = jax.jit(partial(dv.decode_z, cfg=mcfg))
+    decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder="pallas"))
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
     float(est[0, 0, 0, 0])
     add = jax.jit(lambda a, e: a + e.sum())

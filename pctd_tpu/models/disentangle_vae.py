@@ -177,13 +177,15 @@ def encode(params: dict, cfg: ModelConfig, pr_mat, c, dt_x=None
             _texture_dist(params, cfg, pr_mat, dt_x))
 
 
-def decode_z(params: dict, cfg: ModelConfig, z_chd, z_rhy) -> jnp.ndarray:
+def decode_z(params: dict, cfg: ModelConfig, z_chd, z_rhy,
+             frame_decoder: str = "xla") -> jnp.ndarray:
     """Pure autoregressive decode of latents -> estimated grid
-    (B, 32, K-1, 6) (reference inference_decode, model.py:124-131)."""
+    (B, 32, K-1, 6) (reference inference_decode, model.py:124-131).
+    ``frame_decoder='pallas'`` selects the fused VMEM sampling kernel."""
     z = jnp.concatenate([z_chd, z_rhy], axis=-1)
     params, z = _apply_precision(params, cfg, z)
-    out = pt_dec.decode(params["dec"], cfg, z)
-    return pt_dec.output_to_grid(out)
+    return pt_dec.decode_grid(params["dec"], cfg, z,
+                              frame_decoder=frame_decoder)
 
 
 def inference(params: dict, cfg: ModelConfig, pr_mat, c, sample: bool,

@@ -337,3 +337,46 @@ def output_to_grid(out: DecoderOutput) -> jnp.ndarray:
     est_pitch = jnp.argmax(out.pitch_logits, -1)[..., None]
     est_dur = jnp.argmax(out.dur_logits, -1)
     return jnp.concatenate([est_pitch, est_dur], axis=-1)
+
+
+def decode_grid(p: dict, cfg: ModelConfig, z: jnp.ndarray,
+                frame_decoder: str = "xla",
+                interpret: bool = False) -> jnp.ndarray:
+    """Inference decode straight to the estimated grid (B, T, K-1, 6).
+
+    ``frame_decoder='pallas'`` runs each frame's note+duration levels in the
+    fused VMEM kernel (pctd_tpu.ops.pallas.ar_decoder) — the serving path;
+    'xla' uses the nested-scan decode (the reference-parity path).
+    """
+    if frame_decoder == "xla":
+        return output_to_grid(decode(p, cfg, z))
+    from pctd_tpu.ops.pallas import frame_decode_pallas
+
+    spec = cfg.pianotree
+    B = z.shape[0]
+    h0 = dense_apply(p["z2hid"], z)
+    z_in = dense_apply(p["z2in"], z)
+    sos_emb = dense_apply(p["note_emb"],
+                          sos_token_raw(spec).astype(
+                              p["note_emb"]["w"].dtype))
+    sos_emb = jnp.broadcast_to(sos_emb, (B, sos_emb.shape[-1]))
+    token0 = jnp.broadcast_to(p["init_input"],
+                              (B, p["init_input"].shape[-1]))
+    tok_dim = token0.shape[-1]
+    w_tok = p["time_gru"].w_ih[:tok_dim]
+    gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
+
+    def step(carry, _):
+        h, token = carry
+        h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
+        pitch_idx, dur_bits, pred_notes, lengths = frame_decode_pallas(
+            p, cfg, h, sos_emb, interpret=interpret)
+        token_next = bigru_last_masked(p["emb_fwd"], p["emb_bwd"],
+                                       pred_notes, lengths)
+        return (h, token_next), (pitch_idx, dur_bits)
+
+    (_, _), (pitch_idx, dur_bits) = jax.lax.scan(
+        step, (h0, token0), None, length=spec.num_step)
+    pitch_idx = jnp.swapaxes(pitch_idx, 0, 1)               # (B, T, K-1)
+    dur_bits = jnp.swapaxes(dur_bits, 0, 1)                 # (B, T, K-1, W)
+    return jnp.concatenate([pitch_idx[..., None], dur_bits], axis=-1)

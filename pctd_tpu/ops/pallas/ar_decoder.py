@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: fused autoregressive frame decode (note + duration
+levels of the PianoTree decoder, inference mode).
+
+One sampled frame = 15 sequential note slots x (GRU cell + pitch head +
+5-step binary-duration GRU + argmax feedback + embedding) — ~100 tiny
+dependent ops that XLA executes as nested while loops with HBM round-trips
+between them (reference semantics: ptvae.py:370-428 inference path). This
+kernel runs the whole frame in VMEM: every weight is loaded once, all
+intermediates stay on-chip, and the only HBM traffic is the (B, ...) inputs
+and outputs.
+
+Used by the serving/sampling path (pianotree_decoder.decode with
+``frame_decoder='pallas'``); training keeps the XLA scan (the kernel is
+forward-only).
+
+Weight layout notes
+-------------------
+- the notes-GRU input projection is pre-split: the frame part
+  (time_hidden x 3H) is applied ONCE per frame; the token part
+  (emb x 3H) per slot.
+- biases are shipped as (1, X) rows (TPU scalars want 2D).
+- the predicted-note embedding is computed as
+  one_hot(pitch) @ W_emb[:pitch_range] + dur_bits @ W_emb[pitch_range:] + b,
+  i.e. a 130-wide MXU matmul instead of a row gather.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pctd_tpu.config import ModelConfig, PianoTreeSpec
+
+
+def _gru(gi, h, w_hh, b_hh):
+    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def _frame_kernel(spec: PianoTreeSpec,
+                  h_time_ref, sos_emb_ref,
+                  w_t2n_ref, b_t2n_ref,
+                  w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+                  w_hh_ref, b_hh_ref,
+                  w_pitch_ref, b_pitch_ref,
+                  w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
+                  w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+                  w_dout_ref, b_dout_ref,
+                  w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
+                  pitch_idx_ref, dur_bits_ref, pred_notes_ref, len_ref):
+    K = spec.max_simu_note
+    W = spec.dur_width
+    P = spec.pitch_range
+    B = h_time_ref.shape[0]
+
+    h_time = h_time_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    hid = dot(h_time, w_t2n_ref[:]) + b_t2n_ref[:]          # (B, NH)
+    gi_frame = dot(h_time, w_ih_frame_ref[:]) + b_ih_ref[:]  # (B, 3NH)
+    token = sos_emb_ref[:]                                   # (B, EMB)
+    pred_notes_ref[:, 0, :] = token
+    lengths = jnp.zeros((B, 1), jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    h = hid
+    for k in range(1, K):
+        gi = gi_frame + dot(token, w_ih_tok_ref[:])
+        h = _gru(gi, h, w_hh_ref[:], b_hh_ref[:])
+        est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]  # (B, P)
+        pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
+
+        # 5-step binary duration chain
+        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
+               + b_dhid_ref[:])
+        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W))
+        bits = []
+        for _ in range(W):
+            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
+            h_d = _gru(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]  # (B, 2)
+            bit = (logit[:, 1] > logit[:, 0]).astype(jnp.int32)
+            bits.append(bit)
+            token_d = (col_w == bit[:, None]).astype(h_d.dtype)
+        dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)
+
+        pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
+        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
+               dot(dur_bits.astype(h.dtype), w_emb_d_ref[:]) + b_emb_ref[:])
+        emb = emb.astype(pred_notes_ref.dtype)
+
+        pitch_idx_ref[:, k - 1] = pitch_ind
+        dur_bits_ref[:, k - 1, :] = dur_bits
+        pred_notes_ref[:, k, :] = emb
+        is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
+        lengths = jnp.where(is_eos, k, lengths)
+        token = emb
+
+    len_ref[:] = jnp.where(lengths == 0, K - 1, lengths)
+
+
+def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
+                        sos_emb: jnp.ndarray, interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                   jnp.ndarray]:
+    """Decode one frame's notes with the fused kernel.
+
+    p: pianotree_decoder params; h_time (B, time_hidden); sos_emb (B, emb).
+    Returns (pitch_idx (B, K-1) i32, dur_bits (B, K-1, W) i32,
+             pred_notes (B, K, emb), lengths (B,) i32).
+    """
+    spec = cfg.pianotree
+    B = h_time.shape[0]
+    K, W = spec.max_simu_note, spec.dur_width
+    th = cfg.dec_time_hidden
+    emb = cfg.note_emb_size
+    P = spec.pitch_range
+
+    ng = p["notes_gru"]
+    dg = p["dur_gru"]
+    w_dhid = p["dur_hid"]["w"]                      # (NH + P, DH)
+    # split [h | est_pitch] input (reference dur_hid_linear consumes
+    # cat([note_summary, est_pitch]) -- note order: (hid, pitch))
+    w_dhid_h = w_dhid[:cfg.dec_notes_hidden]
+    w_dhid_p = w_dhid[cfg.dec_notes_hidden:]
+    w_emb = p["note_emb"]["w"]                      # (P + W, emb)
+
+    row = lambda b: b.reshape(1, -1)
+    args = (
+        h_time, sos_emb,
+        p["time2notes"]["w"], row(p["time2notes"]["b"]),
+        ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
+        ng.w_hh, row(ng.b_hh),
+        p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
+        w_dhid_h, w_dhid_p, row(p["dur_hid"]["b"]),
+        dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
+        p["dur_out"]["w"], row(p["dur_out"]["b"]),
+        w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
+        row(p["dur_sos"]),
+    )
+
+    kernel = functools.partial(_frame_kernel, spec)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, K - 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, K, emb), h_time.dtype),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pitch_idx, dur_bits, pred_notes, lengths = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem] * len(args),
+        out_specs=(vmem, vmem, vmem, vmem),
+        interpret=interpret,
+    )(*args)
+    return pitch_idx, dur_bits, pred_notes, lengths[:, 0]
