@@ -95,6 +95,41 @@ def main():
                   [f"swap_{i}_{j}" for i in range(k) for j in range(k)],
                   bpm=args.bpm, shift_beat=8)
 
+    # -- 1b: 16-bar whole-song style transfer (reference demo
+    # 1_compositional_style_transfer/16bar_style_transfer: 'all.mid' holds
+    # all four scores: A, B, A-chords+B-texture, B-chords+A-texture) --------
+    from pctd_tpu.data.songs import SongDataset
+
+    songs = SongDataset(train_c, min_bars=12)
+    if len(songs) >= 2:
+        d1b = os.path.join(d1, "16bar_style_transfer")
+        os.makedirs(d1b, exist_ok=True)
+        n_win = 8  # 8 windows x 2 bars = 16 bars
+        length = min(2 * n_win, min(songs.song_len[0], songs.song_len[1]))
+        ba = songs.get_song_batch(0, length=length)
+        bb = songs.get_song_batch(1, length=length)
+        fa = tensorize_batch(jnp.asarray(ba["pr"]), jnp.asarray(ba["chord"]),
+                             jnp.asarray(ba["shift"]), spec=spec,
+                             with_detrend=False)
+        fb = tensorize_batch(jnp.asarray(bb["pr"]), jnp.asarray(bb["chord"]),
+                             jnp.asarray(bb["shift"]), spec=spec,
+                             with_detrend=False)
+        da_chd, da_rhy = dv.encode(model.params, cfg, fa["pr_mat"], fa["c"])
+        db_chd, db_rhy = dv.encode(model.params, cfg, fb["pr_mat"], fb["c"])
+        versions = {
+            "A_original": (da_chd.mean, da_rhy.mean),
+            "B_original": (db_chd.mean, db_rhy.mean),
+            "Achd_Btxt": (da_chd.mean, db_rhy.mean),
+            "Bchd_Atxt": (db_chd.mean, da_rhy.mean),
+        }
+        tracks, names = [], []
+        for name, (zc, zr) in versions.items():
+            grids = dv.decode_z(model.params, cfg, zc, zr)
+            tracks.append([grid_notes(g) for g in grids])
+            names.append(name)
+        dm.write_demo(os.path.join(d1b, "all.mid"), tracks, names,
+                      bpm=args.bpm, shift_beat=8)
+
     # -- 2: texture variation (posterior + prior sampling) -------------------
     d2p = os.path.join(args.out, "2_texture_variation", "posterior_sampling")
     d2q = os.path.join(args.out, "2_texture_variation", "prior_sampling")
