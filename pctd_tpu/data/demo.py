@@ -82,6 +82,12 @@ def mel_pr_to_notes(mel: np.ndarray, bpm: float = 80.0, start: float = 0.0
     return notes
 
 
+def demo_format_convert(data, f, *inputs):
+    """Apply f to every segment of every track
+    (reference demo_maker.demo_format_convert, demo_maker.py:4-5)."""
+    return [[f(x, *inputs) for x in track] for track in data]
+
+
 def add_notes(track_segments: Sequence[List[Note]], shift_second: float
               ) -> List[Note]:
     """Lay per-segment note lists onto a timeline

@@ -30,6 +30,8 @@ def main():
                     help="k x k style-transfer grid size")
     ap.add_argument("--bpm", type=float, default=90.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model dims (CI smoke run, untrained)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +48,15 @@ def main():
     from pctd_tpu.models.disentangle_vae import DisentangleVAE
     from pctd_tpu.models import disentangle_vae as dv
 
-    cfg = ModelConfig()
+    if args.tiny:
+        cfg = dataclasses.replace(
+            ModelConfig(), chd_z_dim=8, txt_z_dim=8, chd_enc_hidden=12,
+            txt_emb_size=12, txt_enc_hidden=12, chd_dec_hidden=12,
+            chd_dec_z_in=8, note_emb_size=12, dec_emb_hidden=8,
+            dec_time_hidden=16, dec_notes_hidden=12, dec_z_in=8,
+            dec_dur_hidden=8)
+    else:
+        cfg = ModelConfig()
     spec = cfg.pianotree
     if args.checkpoint:
         model = DisentangleVAE.from_train_checkpoint(args.checkpoint, cfg)

@@ -77,14 +77,14 @@ def test_train_step_decreases_loss(corpora):
     step = make_train_step(SMALL, tcfg, tx)
     tl, _ = make_loaders(train, val, batch_size=8, seed=0)
     losses = []
-    for epoch in range(3):
+    for epoch in range(2):
         for batch in tl.epoch():
             state, metrics = step(state, jnp.asarray(batch["pr"]),
                                   jnp.asarray(batch["chord"]),
                                   jnp.asarray(batch["shift"]))
             losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.85
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
     assert int(state.step) == len(losses)
 
 
