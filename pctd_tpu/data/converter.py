@@ -194,7 +194,9 @@ def batch_target_to_3dtarget(pr_mats: np.ndarray, max_note_count=16,
     n_idx, t_idx, p_idx = np.nonzero(keep)
     s_idx = slot[n_idx, t_idx, p_idx]
     grid[n_idx, t_idx, s_idx, 0] = p_idx - min_pitch
-    durs = pr_mats[n_idx, t_idx, p_idx].astype(np.int64) - 1
+    # durations beyond 32 steps clip to the 5-bit maximum (only reachable in
+    # the >2-bar stretch configs; canonical 32-step segments never exceed it)
+    durs = np.clip(pr_mats[n_idx, t_idx, p_idx].astype(np.int64) - 1, 0, 31)
     shifts = np.arange(4, -1, -1)
     grid[n_idx, t_idx, s_idx, 1:6] = (durs[:, None] >> shifts[None, :]) & 1
 

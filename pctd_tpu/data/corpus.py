@@ -68,33 +68,35 @@ def _translate(nmat: Optional[np.ndarray], translation: float):
     return nmat
 
 
-def combine_segments(first, second, ts: int = 4):
-    """Combine two consecutive 1-bar nmats into one 2-bar nmat
-    (reference dataset.py:49-61)."""
-    if first is None and second is None:
+def combine_segments(*bars, ts: int = 4):
+    """Combine consecutive 1-bar nmats into one multi-bar nmat: bar j is
+    shifted to beats [j*ts, (j+1)*ts) (reference dataset.py:49-61 for the
+    2-bar case; generalized for the 32-bar stretch config)."""
+    parts = [_translate(bar, -ts * j) for j, bar in enumerate(bars)
+             if bar is not None]
+    if not parts:
         return None
-    if first is None:
-        return _translate(second, -ts)
-    if second is None:
-        return first
-    return np.concatenate([first, _translate(second, -ts)], axis=0)
+    return np.concatenate(parts, axis=0)
 
 
 def song_to_segments(music: PolyphonicMusic, song_id: int, num_bar: int = 2,
                      ts: int = 4) -> Optional[SegmentCorpus]:
     """All valid num_bar windows of one song -> packed arrays (the base
-    tensorization of reference dataset.py:67-120, shift = 0, done once)."""
+    tensorization of reference dataset.py:67-120, shift = 0, done once).
+    Segments are num_bar * ts * 4 sixteenth-steps long (32 at the canonical
+    num_bar=2)."""
     data_track, indicator, _ = music.prepare_data(num_bar=num_bar, ts=ts)
     valid = np.where(indicator == 1)[0]
     if len(valid) == 0:
         return None
+    num_step = num_bar * ts * 4
     prs, mels, chords = [], [], []
     for i in valid:
         bars = data_track[i:i + num_bar]
-        mel_nmat = combine_segments(bars[0][0], bars[1][0], ts)
-        acc_nmat = combine_segments(bars[0][1], bars[1][1], ts)
-        prs.append(ext_nmat_to_pr(acc_nmat).astype(np.uint8))
-        mels.append(ext_nmat_to_mel_pr(mel_nmat).astype(np.uint8))
+        mel_nmat = combine_segments(*[b[0] for b in bars], ts=ts)
+        acc_nmat = combine_segments(*[b[1] for b in bars], ts=ts)
+        prs.append(ext_nmat_to_pr(acc_nmat, num_step).astype(np.uint8))
+        mels.append(ext_nmat_to_mel_pr(mel_nmat, num_step).astype(np.uint8))
         chords.append(np.concatenate([b[2] for b in bars],
                                      axis=0).astype(np.float32))
     return SegmentCorpus(
