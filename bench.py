@@ -18,7 +18,7 @@ import json
 import os
 import time
 
-import numpy as np
+
 
 
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,

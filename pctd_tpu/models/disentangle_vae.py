@@ -18,7 +18,7 @@ Latent-control API (the four demo workflows, reference model.py:117-242):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import json
 import os
 
@@ -48,7 +48,7 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
+
 
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
