@@ -1,0 +1,108 @@
+"""Serving sampler: pre-jitted, fixed-shape latent-control workflows.
+
+The reference runs its four controllable-generation workflows as eager
+per-call torch code (model.py:117-242). For production serving this wraps
+them as compiled programs over fixed batch shapes: construct once, then every
+``swap`` / ``posterior_sample`` / ``prior_sample`` / ``interp`` call is a
+single device-side program (encode + decode fused), with the Pallas fused
+frame decoder on the decode path by default.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pctd_tpu.config import ModelConfig
+from pctd_tpu.models import disentangle_vae as dv
+
+
+class Sampler:
+    def __init__(self, params: dict, cfg: ModelConfig,
+                 frame_decoder: str = "pallas"):
+        self.params = params
+        self.cfg = cfg
+        self.frame_decoder = frame_decoder
+        self._decode = jax.jit(partial(dv.decode_z, cfg=cfg,
+                                       frame_decoder=frame_decoder))
+        self._encode = jax.jit(partial(dv.encode, cfg=cfg))
+
+    # -- core ------------------------------------------------------------------
+
+    def encode(self, pr_mat, c, dt_x=None):
+        return self._encode(self.params, pr_mat=jnp.asarray(pr_mat),
+                            c=jnp.asarray(c),
+                            dt_x=None if dt_x is None else jnp.asarray(dt_x))
+
+    def decode(self, z_chd, z_rhy) -> np.ndarray:
+        return np.asarray(self._decode(self.params, z_chd=jnp.asarray(z_chd),
+                                       z_rhy=jnp.asarray(z_rhy)))
+
+    def reconstruct(self, pr_mat, c, sample: bool = False,
+                    key: Optional[jax.Array] = None) -> np.ndarray:
+        d_chd, d_rhy = self.encode(pr_mat, c)
+        if sample:
+            k1, k2 = jax.random.split(key)
+            return self.decode(d_chd.rsample(k1), d_rhy.rsample(k2))
+        return self.decode(d_chd.mean, d_rhy.mean)
+
+    # -- the four workflows ------------------------------------------------------
+
+    def swap(self, pr_mat1, pr_mat2, c1, c2, fix_rhy: bool, fix_chd: bool
+             ) -> np.ndarray:
+        """Compositional style transfer (reference model.py:145-149)."""
+        pr_mat = pr_mat1 if fix_rhy else pr_mat2
+        c = c1 if fix_chd else c2
+        return self.reconstruct(pr_mat, c, sample=False)
+
+    def posterior_sample(self, key, pr_mat, c, scale: Optional[float] = None,
+                         sample_chd: bool = True, sample_txt: bool = True
+                         ) -> np.ndarray:
+        """Texture variation (reference model.py:151-172)."""
+        d_chd, d_rhy = self.encode(pr_mat, c)
+        if scale is not None:
+            d_chd = d_chd._replace(std=d_chd.std * scale)
+            d_rhy = d_rhy._replace(std=d_rhy.std * scale)
+        k1, k2 = jax.random.split(key)
+        z_chd = d_chd.rsample(k1) if sample_chd else d_chd.mean
+        z_rhy = d_rhy.rsample(k2) if sample_txt else d_rhy.mean
+        return self.decode(z_chd, z_rhy)
+
+    def prior_sample(self, key, pr_mat, c, sample_chd: bool = False,
+                     sample_rhy: bool = False, scale: float = 1.0
+                     ) -> np.ndarray:
+        """Prior replacement (reference model.py:174-184)."""
+        d_chd, d_rhy = self.encode(pr_mat, c)
+        k1, k2 = jax.random.split(key)
+        z_chd = (jax.random.normal(k1, d_chd.mean.shape) * scale
+                 if sample_chd else d_chd.rsample(k1))
+        z_rhy = (jax.random.normal(k2, d_rhy.mean.shape) * scale
+                 if sample_rhy else d_rhy.rsample(k2))
+        return self.decode(z_chd, z_rhy)
+
+    def interp(self, pr_mat1, c1, pr_mat2, c2, interp_chd: bool = False,
+               interp_rhy: bool = False, int_count: int = 10) -> np.ndarray:
+        """Chord/texture SLERP interpolation (reference model.py:190-242)."""
+        d_chd1, d_rhy1 = self.encode(pr_mat1, c1)
+        d_chd2, d_rhy2 = self.encode(pr_mat2, c2)
+        zc1, zr1 = np.asarray(d_chd1.mean), np.asarray(d_rhy1.mean)
+        zc2, zr2 = np.asarray(d_chd2.mean), np.asarray(d_rhy2.mean)
+        B = zc1.shape[0]
+        if interp_chd:
+            zcs = np.stack([dv.interp_path(a, b, int_count)
+                            for a, b in zip(zc1, zc2)])
+        else:
+            zcs = np.repeat(zc1[:, None], int_count, axis=1)
+        if interp_rhy:
+            zrs = np.stack([dv.interp_path(a, b, int_count)
+                            for a, b in zip(zr1, zr2)])
+        else:
+            zrs = np.repeat(zr1[:, None], int_count, axis=1)
+        est = self.decode(zcs.reshape(B * int_count, -1),
+                          zrs.reshape(B * int_count, -1))
+        spec = self.cfg.pianotree
+        return est.reshape(B, int_count, spec.num_step,
+                           spec.max_simu_note - 1, 6)

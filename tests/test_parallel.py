@@ -99,3 +99,18 @@ def test_parallel_multi_step_training_progresses():
         state, metrics = step(state, pr, chord, shift)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_parallel_eval_step():
+    from pctd_tpu.parallel import make_parallel_eval_step
+    mesh = make_mesh(8)
+    state, _ = init_state(jax.random.PRNGKey(5), SMALL, TCFG)
+    eval_step = make_parallel_eval_step(SMALL, TCFG, mesh)
+    batch = get_batch(16)
+    pr, chord, shift = shard_batch(mesh, batch["pr"], batch["chord"],
+                                   batch["shift"])
+    params = replicate(mesh, state.params)
+    metrics = eval_step(params, jnp.zeros((), jnp.int32),
+                        jax.random.PRNGKey(6), pr, chord, shift)
+    assert np.isfinite(float(metrics["loss"]))
+    assert set(metrics) == set(dv.METRIC_NAMES)
