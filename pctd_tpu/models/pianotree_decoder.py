@@ -369,11 +369,9 @@ def decode_grid(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     def step(carry, _):
         h, token = carry
         h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
-        pitch_idx, dur_bits, pred_notes, lengths = frame_decode_pallas(
+        pitch_idx, dur_bits, summary, _ = frame_decode_pallas(
             p, cfg, h, sos_emb, interpret=interpret)
-        token_next = bigru_last_masked(p["emb_fwd"], p["emb_bwd"],
-                                       pred_notes, lengths)
-        return (h, token_next), (pitch_idx, dur_bits)
+        return (h, summary), (pitch_idx, dur_bits)
 
     (_, _), (pitch_idx, dur_bits) = jax.lax.scan(
         step, (h0, token0), None, length=spec.num_step)

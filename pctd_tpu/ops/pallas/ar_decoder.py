@@ -56,7 +56,8 @@ def _frame_kernel(spec: PianoTreeSpec,
                   w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
                   w_dout_ref, b_dout_ref,
                   w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
-                  pitch_idx_ref, dur_bits_ref, pred_notes_ref, len_ref):
+                  we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
+                  pitch_idx_ref, dur_bits_ref, summary_ref, len_ref):
     K = spec.max_simu_note
     W = spec.dur_width
     P = spec.pitch_range
@@ -68,8 +69,8 @@ def _frame_kernel(spec: PianoTreeSpec,
     hid = dot(h_time, w_t2n_ref[:]) + b_t2n_ref[:]          # (B, NH)
     gi_frame = dot(h_time, w_ih_frame_ref[:]) + b_ih_ref[:]  # (B, 3NH)
     token = sos_emb_ref[:]                                   # (B, EMB)
-    pred_notes_ref[:, 0, :] = token
     lengths = jnp.zeros((B, 1), jnp.int32)
+    pred_notes = [token]                                     # VMEM values
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -98,27 +99,46 @@ def _frame_kernel(spec: PianoTreeSpec,
         pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
         emb = (dot(pitch_oh, w_emb_p_ref[:]) +
                dot(dur_bits.astype(h.dtype), w_emb_d_ref[:]) + b_emb_ref[:])
-        emb = emb.astype(pred_notes_ref.dtype)
 
         pitch_idx_ref[:, k - 1] = pitch_ind
         dur_bits_ref[:, k - 1, :] = dur_bits
-        pred_notes_ref[:, k, :] = emb
+        pred_notes.append(emb)
         is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
         lengths = jnp.where(is_eos, k, lengths)
         token = emb
 
-    len_ref[:] = jnp.where(lengths == 0, K - 1, lengths)
+    lengths = jnp.where(lengths == 0, K - 1, lengths)
+    len_ref[:] = lengths
+
+    # masked bidirectional GRU summary of the predicted notes, fully in VMEM
+    # (pack_padded semantics: fwd final = h after slot len-1; bwd final =
+    # h after scanning slots len-1 .. 0)
+    EH = we_hh_ref.shape[1]                                  # emb hidden
+    hf = jnp.zeros((B, EH), h_time.dtype)
+    hb = jnp.zeros((B, EH), h_time.dtype)
+    for k in range(K):
+        mf = (k < lengths).astype(h_time.dtype)              # (B, 1)
+        gif = dot(pred_notes[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
+        hf_new = _gru(gif, hf, we_hh_ref[0], be_hh_ref[0:1, :])
+        hf = mf * hf_new + (1.0 - mf) * hf
+        kb = K - 1 - k
+        mb = (kb < lengths).astype(h_time.dtype)
+        gib = dot(pred_notes[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
+        hb_new = _gru(gib, hb, we_hh_ref[1], be_hh_ref[1:2, :])
+        hb = mb * hb_new + (1.0 - mb) * hb
+    summary_ref[:, :EH] = hf.astype(summary_ref.dtype)
+    summary_ref[:, EH:] = hb.astype(summary_ref.dtype)
 
 
 def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
                         sos_emb: jnp.ndarray, interpret: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                    jnp.ndarray]:
-    """Decode one frame's notes with the fused kernel.
+    """Decode one frame's notes + their bi-GRU summary with the fused kernel.
 
     p: pianotree_decoder params; h_time (B, time_hidden); sos_emb (B, emb).
     Returns (pitch_idx (B, K-1) i32, dur_bits (B, K-1, W) i32,
-             pred_notes (B, K, emb), lengths (B,) i32).
+             summary (B, 2*emb_hidden), lengths (B,) i32).
     """
     spec = cfg.pianotree
     B = h_time.shape[0]
@@ -148,21 +168,25 @@ def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
         p["dur_out"]["w"], row(p["dur_out"]["b"]),
         w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
         row(p["dur_sos"]),
+        jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
+        jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),
+        jnp.stack([p["emb_fwd"].b_ih, p["emb_bwd"].b_ih]),
+        jnp.stack([p["emb_fwd"].b_hh, p["emb_bwd"].b_hh]),
     )
 
     kernel = functools.partial(_frame_kernel, spec)
     out_shapes = (
         jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
         jax.ShapeDtypeStruct((B, K - 1, W), jnp.int32),
-        jax.ShapeDtypeStruct((B, K, emb), h_time.dtype),
+        jax.ShapeDtypeStruct((B, 2 * cfg.dec_emb_hidden), h_time.dtype),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    pitch_idx, dur_bits, pred_notes, lengths = pl.pallas_call(
+    pitch_idx, dur_bits, summary, lengths = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[vmem] * len(args),
         out_specs=(vmem, vmem, vmem, vmem),
         interpret=interpret,
     )(*args)
-    return pitch_idx, dur_bits, pred_notes, lengths[:, 0]
+    return pitch_idx, dur_bits, summary, lengths[:, 0]

@@ -32,8 +32,11 @@ def test_frame_kernel_matches_xla_decode_notes():
     # XLA inference path for one frame
     pitch_o, dur_o, pred_notes, lengths = ptd._decode_notes(
         p, spec, h_time, None, None, sos_emb)
+    from pctd_tpu.ops import bigru_last_masked
+    summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"], pred_notes,
+                                lengths)
 
-    k_pitch, k_bits, k_notes, k_len = frame_decode_pallas(
+    k_pitch, k_bits, k_summary, k_len = frame_decode_pallas(
         p, cfg, h_time, sos_emb, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(k_pitch),
@@ -41,7 +44,7 @@ def test_frame_kernel_matches_xla_decode_notes():
     np.testing.assert_array_equal(np.asarray(k_bits),
                                   np.argmax(np.asarray(dur_o), -1))
     np.testing.assert_array_equal(np.asarray(k_len), np.asarray(lengths))
-    np.testing.assert_allclose(np.asarray(k_notes), np.asarray(pred_notes),
+    np.testing.assert_allclose(np.asarray(k_summary), np.asarray(summary),
                                atol=2e-5)
 
 
