@@ -131,6 +131,12 @@ class TrainConfig:
     sched_horizon: float = 1.0
     seed: int = 3345
     weighted_dur: bool = False
+    # Validation / best-checkpoint policy. False (default) = reference
+    # parity: eval runs at the CURRENT scheduled tfr/beta (module.py:161-177),
+    # so val loss drifts with the schedule. True = eval at the schedules'
+    # final values (tfr lows, full beta), making val loss and the Trainer's
+    # best-checkpoint selection comparable across epochs.
+    eval_fixed_schedule: bool = False
     # run dirs / checkpointing
     result_root: str = "result"
     save_every_epoch: bool = True

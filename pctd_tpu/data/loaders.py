@@ -70,9 +70,12 @@ def make_loaders(train: SegmentCorpus, val: SegmentCorpus, batch_size: int,
     """(train iter with augmentation+shuffle, val iter without) — mirrors
     MusicDataLoaders.get_loaders semantics (reference dataset_loaders.py:8-15:
     val uses shift 0 only, no shuffle)."""
+    # Clamp the val batch to the val-set size: with drop_last fixed shapes, a
+    # batch larger than the split would otherwise yield ZERO eval batches
+    # (and a silent val loss of 0.0 poisoning best-checkpoint selection).
+    vbs = min(val_batch_size or batch_size, max(len(val), 1))
     return (
         SegmentBatches(train, batch_size, shift_low, shift_high,
                        shuffle=True, seed=seed),
-        SegmentBatches(val, val_batch_size or batch_size, 0, 0,
-                       shuffle=False, seed=seed),
+        SegmentBatches(val, vbs, 0, 0, shuffle=False, seed=seed),
     )

@@ -131,6 +131,67 @@ class MidiFile:
         return mf
 
 
+class BeatTrackData(NamedTuple):
+    """One track's notes in musical (beat) time: rows of
+    (start_beat, end_beat, pitch, velocity) floats."""
+    name: str
+    program: int
+    is_drum: bool
+    notes: List[tuple]
+
+
+class BeatMidi(NamedTuple):
+    """A MIDI file read in BEAT domain (tick / ticks-per-quarter — exact
+    under tempo changes, unlike the seconds-domain ``MidiFile.read``).
+    ``time_signatures`` rows are (beat, numerator, denominator)."""
+    bpm: float
+    tracks: List[BeatTrackData]
+    time_signatures: List[tuple]
+
+
+def read_beats(fn: str) -> BeatMidi:
+    """Read an SMF with note times in quarter-note beats (tick-exact).
+
+    This is the front door of the raw-MIDI ingestion pipeline
+    (pctd_tpu.data.ingest): quantization must happen in musical time, so
+    seconds (which depend on the tempo map) are never materialized."""
+    with open(fn, "rb") as f:
+        data = f.read()
+    pos = 0
+    magic, length, fmt, ntracks, division = struct.unpack_from(
+        ">4sIHHH", data, pos)
+    if magic != b"MThd":
+        raise ValueError(f"{fn}: not a MIDI file")
+    pos += 8 + length
+    if division & 0x8000:
+        raise ValueError("SMPTE time division not supported")
+
+    raw_tracks = []
+    for _ in range(ntracks):
+        tmagic, tlen = struct.unpack_from(">4sI", data, pos)
+        if tmagic != b"MTrk":
+            raise ValueError("bad track chunk")
+        pos += 8
+        raw_tracks.append(_parse_track(data[pos:pos + tlen]))
+        pos += tlen
+
+    tempos = sorted([(t, v) for tr in raw_tracks for (t, v) in tr["tempos"]])
+    bpm = 60_000_000 / tempos[0][1] if tempos else 120.0
+    timesigs = sorted([(t / division, num, den) for tr in raw_tracks
+                       for (t, num, den) in tr["timesigs"]])
+
+    tracks = []
+    for tr in raw_tracks:
+        if not tr["notes"]:
+            continue
+        notes = [(on / division, off / division, p, v)
+                 for (on, off, p, v) in tr["notes"]]
+        notes.sort()
+        tracks.append(BeatTrackData(tr["name"], tr["program"],
+                                    tr["is_drum"], notes))
+    return BeatMidi(bpm, tracks, timesigs)
+
+
 def _varlen(value: int) -> bytes:
     out = [value & 0x7F]
     value >>= 7
@@ -153,7 +214,7 @@ def _read_varlen(data: bytes, pos: int):
 def _parse_track(data: bytes) -> dict:
     pos, tick, status = 0, 0, 0
     name, program, is_drum = "", 0, False
-    tempos, notes = [], []
+    tempos, notes, timesigs = [], [], []
     active = {}  # (channel, pitch) -> (start_tick, velocity)
     while pos < len(data):
         delta, pos = _read_varlen(data, pos)
@@ -174,6 +235,8 @@ def _parse_track(data: bytes) -> dict:
                 tempos.append((tick, int.from_bytes(payload, "big")))
             elif meta == 0x03 and not name:
                 name = payload.decode("utf-8", "replace")
+            elif meta == 0x58 and mlen >= 2:
+                timesigs.append((tick, payload[0], 1 << payload[1]))
         elif status in (0xF0, 0xF7):
             mlen, pos = _read_varlen(data, pos)
             pos += mlen
@@ -208,4 +271,4 @@ def _parse_track(data: bytes) -> dict:
         notes.append((st, tick, pitch, vel))
     notes.sort()
     return {"name": name, "program": program, "tempos": tempos,
-            "notes": notes, "is_drum": is_drum}
+            "notes": notes, "is_drum": is_drum, "timesigs": timesigs}

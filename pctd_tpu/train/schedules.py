@@ -51,6 +51,14 @@ def train_params_at(step, cfg: TrainConfig) -> Dict[str, jnp.ndarray]:
     }
 
 
+def final_params(cfg: TrainConfig) -> Dict[str, float]:
+    """The schedules' asymptotic (end-of-training) values: tfr at their low
+    ends, beta fully annealed. Used for schedule-invariant validation
+    (TrainConfig.eval_fixed_schedule)."""
+    (_, l1), (_, l2), (_, l3) = cfg.tf_rates
+    return {"tfr1": l1, "tfr2": l2, "tfr3": l3, "beta": cfg.beta}
+
+
 def lr_schedule(cfg: TrainConfig):
     """Exponential decay per step with a floor (reference MinExponentialLR,
     example.py:4-13, stepped per batch via OptimizerScheduler)."""

@@ -130,7 +130,14 @@ def make_eval_step(mcfg: ModelConfig, tcfg: TrainConfig):
 
     def eval_fn(params, step, key, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
-        sched = schedules.train_params_at(step, tcfg)
+        if tcfg.eval_fixed_schedule:
+            # Schedule-invariant validation: evaluate at the schedules'
+            # asymptotic values so val loss (and the best-checkpoint choice
+            # below) does not drift with the tfr/beta ramps. Default False =
+            # reference parity (module.py:161-177 evals at current schedule).
+            sched = schedules.final_params(tcfg)
+        else:
+            sched = schedules.train_params_at(step, tcfg)
         _, metrics = dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
                              tfr1=sched["tfr1"], tfr2=sched["tfr2"],
                              tfr3=sched["tfr3"], beta=sched["beta"],
@@ -171,6 +178,7 @@ class Trainer:
         # (each sync costs a tunnel round-trip on remote-TPU setups)
         self._stack = jax.jit(
             lambda m: jnp.stack([m[k] for k in dv.METRIC_NAMES]))
+        self._add = jax.jit(jnp.add)
 
     def _metrics_to_host(self, metrics) -> Dict[str, float]:
         vals = np.asarray(self._stack(metrics))
@@ -179,7 +187,10 @@ class Trainer:
     # -- phases ----------------------------------------------------------------
 
     def train_epoch(self) -> Dict[str, float]:
-        acc = {k: 0.0 for k in dv.METRIC_NAMES}
+        # Epoch averages accumulate ON DEVICE every step (async, one tiny
+        # add) so they are exact and log_every-invariant; only logged steps
+        # pay a host transfer.
+        sums = None
         n = 0
         prof = self.profile_steps
         for batch in self.train_batches.epoch():
@@ -194,16 +205,18 @@ class Trainer:
                     lambda a: a.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
                 prof = None
+            stacked = self._stack(metrics)
+            sums = stacked if sums is None else self._add(sums, stacked)
             if self.writers and self.train_counter % self.log_every == 0:
-                host = self._metrics_to_host(metrics)
+                host = dict(zip(dv.METRIC_NAMES,
+                                map(float, np.asarray(stacked))))
                 self.writers.write_task("train", host, self.train_counter)
-                for k, v in host.items():
-                    acc[k] += v
-            else:
-                acc["loss"] += float(metrics["loss"])
             self.train_counter += 1
             n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        if sums is None:
+            return {k: 0.0 for k in dv.METRIC_NAMES}
+        vals = np.asarray(sums) / n
+        return dict(zip(dv.METRIC_NAMES, map(float, vals)))
 
     def eval_epoch(self) -> Dict[str, float]:
         acc = {k: 0.0 for k in dv.METRIC_NAMES}
@@ -222,7 +235,11 @@ class Trainer:
                 acc[k] += v
             self.val_counter += 1
             n += 1
-        return {k: v / max(n, 1) for k, v in acc.items()}
+        if n == 0:
+            # an empty val iterator must not report 0.0 (it would win
+            # best-checkpoint selection); inf keeps 'no signal' inert.
+            return {k: float("inf") for k in dv.METRIC_NAMES}
+        return {k: v / n for k, v in acc.items()}
 
     # -- checkpointing -----------------------------------------------------------
 

@@ -1,0 +1,122 @@
+"""Raw-MIDI ingestion: quantization, beat-table inference, chord estimation,
+and end-to-end corpus assembly from the reference demo MIDIs (real music)."""
+import numpy as np
+import pytest
+
+from pctd_tpu.data import midi_io
+from pctd_tpu.data.ingest import (estimate_chords, infer_beat_table,
+                                  midi_to_musics, quantize_notes)
+
+DEMO = "/root/reference/demo"
+
+
+def test_quantize_notes_grid():
+    # (start_beat, end_beat, pitch, vel) — off-grid onsets snap to 16ths
+    notes = [(0.0, 1.0, 60, 100), (1.26, 1.49, 64, 90), (3.99, 4.02, 67, 80)]
+    nm = quantize_notes(notes)
+    assert nm.shape == (3, 8)
+    np.testing.assert_array_equal(nm[0, :6], [0, 0, 4, 1, 0, 4])
+    np.testing.assert_array_equal(nm[1, :6], [1, 1, 4, 1, 2, 4])
+    # zero-length after rounding -> one quantum
+    np.testing.assert_array_equal(nm[2, :6], [4, 0, 4, 4, 1, 4])
+    assert quantize_notes([]).shape == (0, 8)
+
+
+def test_infer_beat_table_4_4():
+    t = infer_beat_table(9, [])
+    assert t.shape == (9, 6)
+    np.testing.assert_array_equal(t[:, 3], [0, 1, 2, 3, 0, 1, 2, 3, 0])
+    np.testing.assert_array_equal(t[:, 4], [0, 0, 0, 0, 1, 1, 1, 1, 2])
+    assert (t[:, 5] == 4).all()
+
+
+def test_infer_beat_table_ts_change():
+    # 4/4 then 3/4 from beat 4
+    t = infer_beat_table(10, [(0.0, 4, 4), (4.0, 3, 4)])
+    assert (t[:4, 5] == 4).all() and (t[4:, 5] == 3).all()
+    np.testing.assert_array_equal(t[4:10, 3], [0, 1, 2, 0, 1, 2])
+
+
+def test_estimate_chords_triads():
+    # two bars: C major block chords then A minor
+    notes = [(b, b + 1, p, 100) for b in range(4) for p in (48, 60, 64, 67)]
+    notes += [(4 + b, 5 + b, p, 100) for b in range(4) for p in (45, 57, 60, 64)]
+    chords = estimate_chords(quantize_notes(notes), 8)
+    assert (chords[:4, 0] == 0).all()       # C root
+    assert (chords[4:, 0] == 9).all()       # A root
+    np.testing.assert_array_equal(chords[0, 1:13],
+                                  [1, 0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0])
+    assert chords[0, 13] == 0               # bass = C
+    assert chords[4, 13] == 9               # bass = A
+
+
+def test_estimate_chords_viterbi_smooths_blips():
+    # sustained C triad with one beat of only E+G (ambiguous): smoothing keeps C
+    notes = [(b, b + 1, p, 100) for b in range(4) for p in (48, 60, 64, 67)
+             if not (b == 2 and p in (48, 60))]
+    chords = estimate_chords(quantize_notes(notes), 4)
+    assert (chords[:, 0] == 0).all()
+
+
+def test_estimate_chords_silence():
+    notes = [(2.0, 4.0, 60, 100), (2.0, 4.0, 64, 100), (2.0, 4.0, 67, 100)]
+    chords = estimate_chords(quantize_notes(notes), 6)
+    assert (chords[:2] == 0).all()          # leading silence: no chord
+    assert (chords[2:4, 0] == 0).all() and chords[2, 1] == 1
+    assert (chords[4:, 0] == 0).all()       # trailing: sustained
+
+
+def test_known_progressions_from_demo_midis():
+    ms = midi_to_musics(f"{DEMO}/2_texture_variation/prior_sampling/"
+                        "more_examples/Am-D7-G.mid")
+    roots = ms[0].chord_table[:8, 0].astype(int)
+    np.testing.assert_array_equal(roots, [9, 9, 2, 2, 7, 7, 7, 7])
+    ms = midi_to_musics(f"{DEMO}/2_texture_variation/prior_sampling/"
+                        "more_examples/G-F-Eb.mid")
+    roots = ms[0].chord_table[:8, 0].astype(int)
+    np.testing.assert_array_equal(roots, [7, 7, 5, 5, 3, 3, 3, 3])
+
+
+def test_midi_to_musics_structure():
+    fn = f"{DEMO}/2_texture_variation/posterior_sampling/original.mid"
+    ms = midi_to_musics(fn)
+    assert len(ms) == 1
+    m = ms[0]
+    assert len(m.tracks) == 3 and len(m.tracks[1]) > 0
+    assert m.beat_track.beat_table.shape[0] == m.chord_table.shape[0]
+    _, indicator, db = m.prepare_data(num_bar=2)
+    assert (indicator == 1).sum() >= len(db) - 2
+
+    # multi-track file: one score per track
+    multi = f"{DEMO}/1_compositional_style_transfer/16bar_style_transfer/all.mid"
+    ms = midi_to_musics(multi)
+    assert len(ms) == 4
+
+
+def test_read_beats_tick_exact():
+    fn = f"{DEMO}/2_texture_variation/prior_sampling/C-Am-F-G.mid"
+    bm = midi_io.read_beats(fn)
+    assert bm.bpm > 0 and len(bm.tracks) == 1
+    starts = np.asarray([n[0] for n in bm.tracks[0].notes])
+    # demo files are written on a 16th grid: beat positions are ~multiples of 1/4
+    frac = np.abs(starts * 4 - np.rint(starts * 4))
+    assert frac.max() < 0.02
+
+
+@pytest.mark.slow
+def test_ingest_directory_end_to_end():
+    import dataclasses
+
+    from pctd_tpu.config import DataConfig
+    from pctd_tpu.data.ingest import ingest_directory
+
+    cfg = dataclasses.replace(DataConfig(), portion=8)
+    train, val = ingest_directory(DEMO, cfg)
+    assert len(train) > 2000 and len(val) > 200
+    assert train.pr.dtype == np.uint8
+    assert train.pr.shape[1:] == (32, 128)
+    assert train.chord.shape[1:] == (8, 14)
+    # song-level split: no song appears in both
+    assert not set(np.unique(train.song_id)) & set(np.unique(val.song_id))
+    # chords present almost everywhere
+    assert (np.abs(train.chord).sum(-1) > 0).mean() > 0.95

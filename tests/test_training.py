@@ -114,6 +114,58 @@ def test_trainer_run_and_checkpoint(tmp_path, corpora):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_train_epoch_averages_log_every_invariant(corpora):
+    """Regression: epoch-average train metrics must not depend on log_every
+    (round-1 bug: metrics were only accumulated on logged steps but divided
+    by the total batch count)."""
+    train, val = corpora
+
+    def run(log_every):
+        tcfg = dataclasses.replace(TrainConfig(), batch_size=8)
+        tl, vl = make_loaders(train, val, batch_size=8, seed=0)
+        from pctd_tpu.train.logging import MetricWriters
+        from pctd_tpu.models.disentangle_vae import METRIC_NAMES
+
+        class NullWriters(MetricWriters):
+            def __init__(self):
+                self.names = METRIC_NAMES
+
+            def write_task(self, task, metrics, step):
+                pass
+
+        tr = Trainer(SMALL, tcfg, tl, vl, writers=NullWriters(),
+                     log_every=log_every)
+        return tr.train_epoch()
+
+    m1 = run(log_every=1)
+    m3 = run(log_every=3)
+    for k in m1:
+        assert abs(m1[k] - m3[k]) < 1e-5, (k, m1[k], m3[k])
+
+
+def test_eval_fixed_schedule(corpora):
+    """eval_fixed_schedule=True evaluates at the schedules' final values
+    regardless of the training step."""
+    train, val = corpora
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8,
+                               sched_horizon=1000.0,
+                               eval_fixed_schedule=True)
+    state, _ = init_state(jax.random.PRNGKey(0), SMALL, tcfg)
+    ev = make_eval_step(SMALL, tcfg)
+    _, vl = make_loaders(train, val, batch_size=8, seed=0)
+    batch = next(vl.epoch())
+    args = (jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
+            jnp.asarray(batch["shift"]))
+    key = jax.random.PRNGKey(7)
+    m_early = ev(state.params, jnp.asarray(0), key, *args)
+    m_late = ev(state.params, jnp.asarray(10_000), key, *args)
+    # identical despite a schedule position that differs hugely
+    assert float(m_early["loss"]) == float(m_late["loss"])
+    # final_params matches the config's asymptotes
+    fp = schedules.final_params(tcfg)
+    assert fp["beta"] == tcfg.beta and fp["tfr1"] == tcfg.tf_rates[0][1]
+
+
 def test_pianotree_variant_train_step(corpora):
     train, val = corpora
     cfg = dataclasses.replace(SMALL, txt_encoder="pianotree",

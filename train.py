@@ -35,9 +35,18 @@ def main():
     ap.add_argument("--name", default="disvae")
     ap.add_argument("--data-path",
                     default="data/POP09-PIANOROLL-4-bin-quantization")
+    ap.add_argument("--midi-dir", default=None,
+                    help="build the corpus by ingesting raw MIDI files "
+                         "under this directory (pctd_tpu.data.ingest)")
     ap.add_argument("--synthetic-songs", type=int, default=40,
                     help="synthetic corpus size when no npz data exists")
     ap.add_argument("--sched-horizon", type=float, default=1.0)
+    ap.add_argument("--log-every", type=int, default=1,
+                    help="write per-batch metrics every N train steps")
+    ap.add_argument("--eval-fixed-schedule", action="store_true",
+                    help="evaluate at the schedules' final tfr/beta values "
+                         "(schedule-invariant val loss / best-checkpoint "
+                         "selection) instead of the current schedule position")
     ap.add_argument("--parallel", action="store_true",
                     help="data-parallel over all visible devices")
     ap.add_argument("--result-dir", default=".")
@@ -63,10 +72,16 @@ def main():
                        compute_dtype=args.compute_dtype)
     tcfg = TrainConfig(batch_size=args.batch_size, n_epoch=args.epochs,
                        lr=args.lr, beta=args.beta, clip_norm=args.clip,
-                       seed=args.seed, sched_horizon=args.sched_horizon)
+                       seed=args.seed, sched_horizon=args.sched_horizon,
+                       eval_fixed_schedule=args.eval_fixed_schedule)
     dcfg = DataConfig(data_path=args.data_path, seed=args.seed)
 
-    if os.path.isdir(args.data_path):
+    if args.midi_dir:
+        from pctd_tpu.data.ingest import ingest_directory
+        train_c, val_c = ingest_directory(args.midi_dir, dcfg)
+        print(f"corpus: {len(train_c)} train / {len(val_c)} val segments "
+              f"(ingested MIDI at {args.midi_dir})")
+    elif os.path.isdir(args.data_path):
         from pctd_tpu.data.corpus import prepare_dataset
         train_c, val_c = prepare_dataset(dcfg)
         print(f"corpus: {len(train_c)} train / {len(val_c)} val segments "
@@ -84,7 +99,7 @@ def main():
     writers = MetricWriters(METRIC_NAMES, paths.writer_path)
 
     trainer = Trainer(mcfg, tcfg, tl, vl, name=args.name, run_paths=paths,
-                      writers=writers,
+                      writers=writers, log_every=args.log_every,
                       profile_steps=(2, 2 + args.profile) if args.profile
                       else None)
 
