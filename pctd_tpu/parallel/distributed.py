@@ -55,3 +55,41 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     assert global_batch % n == 0, (global_batch, n)
     share = global_batch // n
     return share, share * jax.process_index()
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Replicate a pytree over a (possibly multi-process) mesh. Every process
+    must pass the same host values (e.g. params from the same seed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(sharding, a, a.shape)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_global_batch(mesh: Mesh, *arrays, axes=("data",)):
+    """Multi-process batch placement: each process passes its LOCAL slice
+    (rows [offset, offset+share) of the global batch, see
+    ``local_batch_slice``); returns global jax.Arrays sharded on the leading
+    axis over ``axes``. Single-process this degrades to plain device_put, so
+    it is a drop-in for mesh.shard_batch on any process count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = jax.process_count()
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        sharding = NamedSharding(mesh, P(axes, *([None] * (a.ndim - 1))))
+        if n == 1:
+            out.append(jax.device_put(a, sharding))
+        else:
+            gshape = (a.shape[0] * n,) + a.shape[1:]
+            out.append(jax.make_array_from_process_local_data(
+                sharding, a, gshape))
+    return tuple(out) if len(out) > 1 else out[0]

@@ -61,21 +61,43 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def _axes_tuple(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _flat_replica_id(axes: tuple):
+    """Row-major linear index of this shard across the given mesh axes (for
+    per-replica RNG folding; equals the 1-D axis_index when len(axes)==1)."""
+    rid = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        rid = rid * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return rid
+
+
 def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                              tx: optax.GradientTransformation, mesh: Mesh,
-                             axis: str = "data"):
+                             axis="data"):
     """Data-parallel train step: (state, pr, chord, shift) -> (state, metrics).
 
     state replicated; (pr, chord, shift) sharded on the batch axis; gradients
     pmean-ed over ICI before the (replicated) optimizer update.
+
+    ``axis`` may be a single mesh axis name or a tuple of names: pass
+    ``("dcn_data", "data")`` with a hybrid multi-host mesh
+    (parallel.distributed.make_hybrid_mesh) to shard the global batch over
+    hosts x chips and reduce gradients hierarchically — XLA lowers the pmean
+    over both axes to an ICI all-reduce within each host/slice plus a DCN
+    all-reduce across them.
     """
+    axes = _axes_tuple(axis)
+    bspec = P(axes)
 
     def shard_fn(state: TrainState, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
         sched = schedules.train_params_at(state.step, tcfg)
         key = jax.random.fold_in(
             jax.random.fold_in(state.key, state.step),
-            jax.lax.axis_index(axis))
+            _flat_replica_id(axes))
 
         def loss_fn(params):
             return dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
@@ -86,8 +108,8 @@ def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        grads = jax.lax.pmean(grads, axis)
-        metrics = jax.lax.pmean(metrics, axis)
+        grads = jax.lax.pmean(grads, axes)
+        metrics = jax.lax.pmean(metrics, axes)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.key), \
@@ -95,28 +117,31 @@ def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
     mapped = _shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), bspec, bspec, bspec),
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))
 
 
 def make_parallel_eval_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
-                            axis: str = "data"):
+                            axis="data"):
+    axes = _axes_tuple(axis)
+    bspec = P(axes)
+
     def shard_fn(params, step, key, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
         sched = schedules.train_params_at(step, tcfg)
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        key = jax.random.fold_in(key, _flat_replica_id(axes))
         _, metrics = dv.loss(params, mcfg, key, x, c, pr_mat, dt_x,
                              tfr1=sched["tfr1"], tfr2=sched["tfr2"],
                              tfr3=sched["tfr3"], beta=sched["beta"],
                              weights=tcfg.weights,
                              weighted_dur=tcfg.weighted_dur)
-        return jax.lax.pmean(metrics, axis)
+        return jax.lax.pmean(metrics, axes)
 
     mapped = _shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), bspec, bspec, bspec),
         out_specs=P(),
         check_vma=False)
     return jax.jit(mapped)

@@ -25,6 +25,8 @@ def main():
                     default="conv")
     ap.add_argument("--data-path",
                     default="data/POP09-PIANOROLL-4-bin-quantization")
+    ap.add_argument("--midi-dir", default=None,
+                    help="evaluate on a corpus ingested from raw MIDI files")
     ap.add_argument("--synthetic-songs", type=int, default=40)
     ap.add_argument("--seed", type=int, default=3345)
     ap.add_argument("--deterministic", action="store_true",
@@ -48,7 +50,10 @@ def main():
     tcfg = TrainConfig(batch_size=args.batch_size, seed=args.seed)
     dcfg = DataConfig(data_path=args.data_path, seed=args.seed)
 
-    if os.path.isdir(args.data_path):
+    if args.midi_dir:
+        from pctd_tpu.data.ingest import ingest_directory
+        _, val_c = ingest_directory(args.midi_dir, dcfg)
+    elif os.path.isdir(args.data_path):
         from pctd_tpu.data.corpus import prepare_dataset
         _, val_c = prepare_dataset(dcfg)
     else:

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (CI smoke run, untrained)")
+    ap.add_argument("--midi-dir", default=None,
+                    help="source segments from a corpus ingested from raw "
+                         "MIDI files instead of the synthetic corpus")
     args = ap.parse_args()
 
     import jax
@@ -66,8 +69,12 @@ def main():
         print("WARNING: no checkpoint — untrained model (structure run)")
 
     dcfg = dataclasses.replace(DataConfig(), portion=4)
-    train_c, _ = synthetic_corpora(n_songs=max(8, args.k * 2),
-                                   seed=args.seed, cfg=dcfg)
+    if args.midi_dir:
+        from pctd_tpu.data.ingest import ingest_directory
+        train_c, _ = ingest_directory(args.midi_dir, dcfg)
+    else:
+        train_c, _ = synthetic_corpora(n_songs=max(8, args.k * 2),
+                                       seed=args.seed, cfg=dcfg)
     k = args.k
     idx = np.linspace(0, len(train_c) - 1, k).astype(int)
     feats = tensorize_batch(jnp.asarray(train_c.pr[idx]),
