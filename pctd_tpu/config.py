@@ -155,3 +155,9 @@ class DataConfig:
     num_bar: int = 2
     ts: int = 4                 # beats per bar
     contain_chord: bool = True
+    # The reference's xlsx meter filter keeps songs with
+    # num_beats_per_measure == 2 while the whole downstream pipeline assumes
+    # 4 beats/bar (reference dataset.py:225-227 — a known defect, moot there
+    # because ind.pkl overrides the list). Here the filter defaults to == ts;
+    # set ref_meter_filter=True to reproduce the reference's literal == 2.
+    ref_meter_filter: bool = False

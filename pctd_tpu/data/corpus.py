@@ -140,7 +140,13 @@ def init_music_from_npz(fn: str) -> PolyphonicMusic:
 
 def collect_data_fns(cfg: DataConfig) -> List[str]:
     """Glob the npz corpus; honor data/ind.pkl when present (the reference
-    overrides its meter filter with that pickle, dataset.py:269-271)."""
+    overrides its meter filter with that pickle, dataset.py:269-271).
+
+    Meter filter: keep songs whose ``num_beats_per_measure`` equals
+    ``cfg.ts`` (the value the rest of the pipeline assumes). The reference
+    literally filters ``== 2`` while assuming 4 beats/bar downstream
+    (dataset.py:225-227, a documented defect); ``cfg.ref_meter_filter=True``
+    reproduces that behavior for strict parity."""
     ind_pkl = os.path.join(os.path.dirname(cfg.data_path), "ind.pkl")
     if os.path.exists(ind_pkl):
         with open(ind_pkl, "rb") as f:
@@ -150,12 +156,18 @@ def collect_data_fns(cfg: DataConfig) -> List[str]:
     if os.path.exists(index_path):
         import pandas as pd
 
-        df = pd.read_excel(index_path)
+        want = 2 if cfg.ref_meter_filter else cfg.ts
+        # reference uses index.xlsx (dataset.py:216-228); csv also accepted
+        # (no xlsx engine ships in every environment)
+        if index_path.endswith(".csv"):
+            df = pd.read_csv(index_path)
+        else:
+            df = pd.read_excel(index_path)
         keep = []
         for fn in fns:
             song_id = int(os.path.basename(fn)[0:3])
             meta = df[df.song_id == song_id]
-            if len(meta) and int(meta.num_beats_per_measure.values[0]) == 2:
+            if len(meta) and int(meta.num_beats_per_measure.values[0]) == want:
                 keep.append(fn)
         fns = keep
     return fns

@@ -59,6 +59,7 @@ def _stretch_cfg():
         dec_notes_hidden=16, dec_z_in=16, dec_dur_hidden=8)
 
 
+@pytest.mark.slow
 def test_stretch_32bar_decoder_shapes():
     cfg = _stretch_cfg()
     spec = cfg.pianotree
@@ -70,6 +71,7 @@ def test_stretch_32bar_decoder_shapes():
     assert out.dur_logits.shape == (2, 128, spec.max_simu_note - 1, 5, 2)
 
 
+@pytest.mark.slow
 def test_stretch_32bar_full_loss():
     """Full VAE loss on 128-step segments built from tiled 2-bar rolls; the
     texture conv encoder generalizes (its GRU length scales with num_step)."""

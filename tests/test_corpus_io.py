@@ -53,6 +53,27 @@ def test_ind_pkl_override(tmp_path):
     assert collect_data_fns(cfg) == subset
 
 
+def test_xlsx_meter_filter(tmp_path):
+    """The xlsx index filter keeps songs whose meter matches cfg.ts by
+    default; cfg.ref_meter_filter=True reproduces the reference's literal
+    == 2 quirk (dataset.py:225-227)."""
+    import dataclasses
+
+    import pandas as pd
+
+    data_dir = str(tmp_path / "POP")
+    fns = write_npz_corpus(data_dir, n_songs=4)
+    index_fn = str(tmp_path / "index.csv")  # no xlsx engine in this image
+    pd.DataFrame({
+        "song_id": [1, 2, 3, 4],
+        "num_beats_per_measure": [4, 2, 4, 3],
+    }).to_csv(index_fn, index=False)
+    cfg = DataConfig(data_path=data_dir, index_path=index_fn)
+    assert collect_data_fns(cfg) == [fns[0], fns[2]]          # meter == ts=4
+    ref_cfg = dataclasses.replace(cfg, ref_meter_filter=True)
+    assert collect_data_fns(ref_cfg) == [fns[1]]              # literal == 2
+
+
 def test_segment_corpus_save_load(tmp_path):
     data_dir = str(tmp_path / "POP")
     write_npz_corpus(data_dir, n_songs=4)

@@ -2,6 +2,8 @@
 (weights transplanted; deterministic teacher-coin configurations)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
 import torch
 import jax.numpy as jnp
 

@@ -4,6 +4,11 @@ Runs in interpreter mode on the CPU test mesh (bit-compatible f32 math), so
 the kernel's semantics are checked exactly against the reference-parity XLA
 path; speed is measured on real TPU by bench.py.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
+
 import dataclasses
 from functools import partial
 

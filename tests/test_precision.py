@@ -1,4 +1,9 @@
 """bf16 compute-path: numerics stay sane, Gaussian heads and losses stay f32."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
+
 import dataclasses
 
 import numpy as np

@@ -1,6 +1,11 @@
 """Checkpoint/resume: full train-state round trip continues training
 deterministically (SURVEY.md §5 — the reference saves weights only and can
 never actually resume)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
+
 import dataclasses
 
 import numpy as np

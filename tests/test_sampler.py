@@ -1,5 +1,6 @@
 """Serving Sampler wrapper: all four workflows through the compiled paths."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from tests.test_models_parity import random_batch
 from tests.test_training import SMALL
 
 
+@pytest.mark.slow
 def test_sampler_workflows():
     params = dv.init_params(jax.random.PRNGKey(0), SMALL)
     # xla frame decoder on the CPU test mesh (pallas path covered by

@@ -1,5 +1,10 @@
 """8-bar (128-step) corpus assembly + full stretch train step from real
 (synthetic) data — the BASELINE.md stretch configuration end to end."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
+
 import dataclasses
 
 import numpy as np

@@ -70,6 +70,7 @@ def test_schedules_reference_shape():
     assert 0.25 < float(mid["tfr1"]) < 0.35  # half way: (0.6 - 0) * 0.5
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(corpora):
     train, val = corpora
     tcfg = dataclasses.replace(TrainConfig(), batch_size=8, lr=2e-3)
@@ -88,6 +89,7 @@ def test_train_step_decreases_loss(corpora):
     assert int(state.step) == len(losses)
 
 
+@pytest.mark.slow
 def test_trainer_run_and_checkpoint(tmp_path, corpora):
     train, val = corpora
     tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
@@ -114,6 +116,7 @@ def test_trainer_run_and_checkpoint(tmp_path, corpora):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_train_epoch_averages_log_every_invariant(corpora):
     """Regression: epoch-average train metrics must not depend on log_every
     (round-1 bug: metrics were only accumulated on logged steps but divided
@@ -143,6 +146,7 @@ def test_train_epoch_averages_log_every_invariant(corpora):
         assert abs(m1[k] - m3[k]) < 1e-5, (k, m1[k], m3[k])
 
 
+@pytest.mark.slow
 def test_eval_fixed_schedule(corpora):
     """eval_fixed_schedule=True evaluates at the schedules' final values
     regardless of the training step."""
@@ -166,6 +170,7 @@ def test_eval_fixed_schedule(corpora):
     assert fp["beta"] == tcfg.beta and fp["tfr1"] == tcfg.tf_rates[0][1]
 
 
+@pytest.mark.slow
 def test_pianotree_variant_train_step(corpora):
     train, val = corpora
     cfg = dataclasses.replace(SMALL, txt_encoder="pianotree",

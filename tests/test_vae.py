@@ -5,6 +5,8 @@ import dataclasses
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
 import torch
 import jax
 import jax.numpy as jnp
