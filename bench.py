@@ -4,13 +4,15 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 The primary metric is training throughput in 2-bar segments/sec/chip on the
-canonical DisentangleVAE config (conv texture encoder, batch 128), with the
-jitted step doing on-device tensorization + forward + backward + clip + Adam.
+canonical DisentangleVAE config (conv texture encoder), with the jitted step
+doing on-device tensorization + forward + backward + clip + Adam. The value
+reported is the THROUGHPUT config (bf16, large batch); the canonical-parity
+B=128 numbers (bf16 + f32) ride along in "extra" with explicit batch/dtype
+labels, as do tensorization throughput, sampling decode per backend
+(pallas/xla), and an analytic MFU estimate from XLA's compiled cost model.
+
 ``vs_baseline`` is the ratio against the measured PyTorch reference on this
 host (BASELINE_MEASURED.json; the reference publishes no numbers).
-
-Secondary numbers (tensorization throughput, pure sampling decode) ride along
-in "extra".
 """
 from __future__ import annotations
 
@@ -18,11 +20,15 @@ import json
 import os
 import time
 
-
+PEAK_FLOPS = {  # per chip, dense
+    "bfloat16": 197e12,   # TPU v5e bf16
+    "float32": 98.5e12,
+}
 
 
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
-                      compute_dtype: str = "float32"):
+                      compute_dtype: str = "float32",
+                      with_cost: bool = False, remat: bool = False):
     import dataclasses
 
     import jax
@@ -35,7 +41,8 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     from pctd_tpu.train.trainer import init_state, make_train_step
     from __graft_entry__ import _example_batch
 
-    mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype)
+    mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
+                               remat_frames=remat)
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -48,6 +55,10 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     for _ in range(2):
         state, metrics = step(state, pr, chord, shift)
         float(metrics["loss"])
+
+    flops = None
+    if with_cost:
+        flops = _train_step_flops(mcfg, tcfg, tx, pr, chord, shift, state)
 
     # steady-state: async chain of n_steps (each step's params feed the next,
     # so all steps really execute) with one final host sync — the per-step
@@ -64,7 +75,69 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
         state, metrics = step(state, pr, chord, shift)
         loss = float(metrics["loss"])
     dt_sync = (time.perf_counter() - t0) / 4
-    return batch_size / dt, dt, dt_sync, loss
+    return {"segments_per_sec": batch_size / dt, "step_seconds": dt,
+            "step_seconds_hostsync": dt_sync, "final_loss": loss,
+            "batch_size": batch_size, "dtype": compute_dtype,
+            "remat": remat, "flops_per_step": flops}
+
+
+def _train_step_flops(mcfg, tcfg, *_unused):
+    """Analytic matmul FLOPs of one train step (per batch).
+
+    Hand-counted from the config dims — XLA's compiled cost model counts each
+    while-loop body ONCE, underreporting scan-heavy programs ~20x (measured
+    1.3 TF vs ~25 TF at B=2048), so it is useless for MFU here. Only matmul
+    terms are counted (elementwise work is negligible); backward = 2x
+    forward, frame remat adds one extra forward of the frame chain.
+    """
+    B = tcfg.batch_size
+    T = mcfg.pianotree.num_step
+    K = mcfg.pianotree.max_simu_note          # 16 slots, K-1 decoded
+    W = mcfg.pianotree.dur_width
+    mm = lambda m, n, k: 2.0 * m * n * k      # (m,k)@(k,n) mul-adds
+
+    def gru_seq(steps, din, h, bidir=False):
+        return (2 if bidir else 1) * steps * mm(1, 3 * h, din + h)
+
+    fwd = 0.0
+    # chord encoder: bi-GRU(36 -> chd_enc_hidden) over 8 beats + heads
+    fwd += gru_seq(8, 36, mcfg.chd_enc_hidden, bidir=True)
+    fwd += 2 * mm(1, mcfg.chd_z_dim, 2 * mcfg.chd_enc_hidden)
+    # conv texture encoder: conv + fc1/fc2 + bi-GRU + heads
+    fwd += mm(8 * 29, mcfg.txt_conv_channels, 4 * 12)
+    fwd += mm(8, 1000, 29 * mcfg.txt_conv_channels) + mm(
+        8, mcfg.txt_emb_size, 1000)
+    fwd += gru_seq(8, mcfg.txt_emb_size, mcfg.txt_enc_hidden, bidir=True)
+    fwd += 2 * mm(1, mcfg.txt_z_dim, 2 * mcfg.txt_enc_hidden)
+    # decoder time level
+    z_dim = mcfg.z_dim
+    fwd += mm(1, mcfg.dec_time_hidden, z_dim) + mm(1, mcfg.dec_z_in, z_dim)
+    fwd += gru_seq(T, mcfg.dec_z_in + 2 * mcfg.dec_emb_hidden,
+                   mcfg.dec_time_hidden)
+    # frame chain (note + dur + pred-emb + summaries) — rematerialized part
+    frame = 0.0
+    frame += T * mm(1, mcfg.dec_notes_hidden, mcfg.dec_time_hidden)
+    frame += T * gru_seq(K - 1, mcfg.dec_time_hidden + mcfg.note_emb_size,
+                         mcfg.dec_notes_hidden)
+    P = mcfg.pianotree.pitch_range
+    frame += T * (K - 1) * mm(1, P, mcfg.dec_notes_hidden)
+    frame += T * (K - 1) * mm(1, mcfg.dec_dur_hidden,
+                              P + mcfg.dec_notes_hidden)
+    frame += T * (K - 1) * gru_seq(W, W, mcfg.dec_dur_hidden)
+    frame += T * (K - 1) * mm(1, 2, mcfg.dec_dur_hidden)
+    frame += T * (K - 1) * mm(1, mcfg.note_emb_size,
+                              mcfg.pianotree.note_size)
+    # pred-frame + gt-frame bi-GRU summaries
+    frame += 2 * T * gru_seq(K, mcfg.note_emb_size, mcfg.dec_emb_hidden,
+                             bidir=True)
+    fwd += frame
+    # note embedding of the gt grid
+    fwd += T * K * mm(1, mcfg.note_emb_size, mcfg.pianotree.note_size)
+    # chord decoder: 8-step GRU + heads
+    fwd += gru_seq(8, 36 + mcfg.chd_dec_z_in, mcfg.chd_dec_hidden)
+    fwd += 8 * mm(1, 36, mcfg.chd_dec_hidden)
+    total = 3.0 * fwd + (frame if mcfg.remat_frames else 0.0)
+    return B * total
 
 
 def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
@@ -94,8 +167,9 @@ def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
     return batch_size / dt
 
 
-def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
-    """Pure autoregressive decode (inference mode) throughput."""
+def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
+    """Pure autoregressive decode (inference mode) throughput, per backend
+    ('pallas' fused frame kernel vs 'xla' nested scans)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -109,7 +183,7 @@ def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
                               (batch_size, mcfg.chd_z_dim))
     z_rhy = jax.random.normal(jax.random.PRNGKey(2),
                               (batch_size, mcfg.txt_z_dim))
-    decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder="pallas"))
+    decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder=backend))
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
     float(est[0, 0, 0, 0])
     add = jax.jit(lambda a, e: a + e.sum())
@@ -120,7 +194,9 @@ def _bench_sampler(batch_size: int = 128, n_iters: int = 5):
         acc = add(acc, est)
     float(acc)
     dt = (time.perf_counter() - t0) / n_iters
-    return batch_size / dt
+    return {"backend": backend, "batch_size": batch_size,
+            "segments_per_sec": batch_size / dt,
+            "ms_per_batch": dt * 1e3}
 
 
 def main():
@@ -133,34 +209,60 @@ def main():
         with open(bpath) as f:
             baseline = json.load(f)
 
-    # production config: bf16 MXU path, f32 Gaussian heads/losses/master
-    seg_bf16, step_bf16, step_bf16_sync, loss_bf16 = _bench_train_step(
-        compute_dtype="bfloat16")
-    # parity config: full f32 (exact oracle-parity numerics)
-    seg_f32, step_f32, _, _ = _bench_train_step(compute_dtype="float32")
+    # throughput config: bf16 MXU path, large batch, frame remat (the saved
+    # inner-scan activations OOM a 16G chip at B >= 1024 without it; remat is
+    # also net FASTER from B >= 512 — less HBM activation traffic).
+    # Measured plateau: B=2048 ~4.9k seg/s; B=4096 OOMs even with remat.
+    big = _bench_train_step(n_steps=8, batch_size=2048,
+                            compute_dtype="bfloat16", with_cost=True,
+                            remat=True)
+    # canonical-parity configs at the reference batch size
+    b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
+    b128_f32 = _bench_train_step(compute_dtype="float32")
     tens_per_sec = _bench_tensorize()
-    dec_per_sec = _bench_sampler()
+    dec_pallas = _bench_sampler("pallas")
+    dec_xla = _bench_sampler("xla")
+
+    mfu = None
+    if big["flops_per_step"]:
+        mfu = (big["flops_per_step"] / big["step_seconds"]
+               / PEAK_FLOPS["bfloat16"])
 
     ref_rate = (baseline or {}).get("train_step", {}).get(
         "segments_per_sec", None)
-    vs = seg_bf16 / ref_rate if ref_rate else None
+    vs = big["segments_per_sec"] / ref_rate if ref_rate else None
 
     print(json.dumps({
         "metric": "train_segments_per_sec_per_chip",
-        "value": round(seg_bf16, 2),
-        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=128, "
-                "bf16 compute / f32 heads+losses)",
+        "value": round(big["segments_per_sec"], 2),
+        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=2048, "
+                "bf16 compute / f32 heads+losses, frame remat)",
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
-            "step_seconds_bf16": round(step_bf16, 5),
-            "step_seconds_bf16_hostsync": round(step_bf16_sync, 5),
-            "train_segments_per_sec_f32": round(seg_f32, 2),
-            "step_seconds_f32": round(step_f32, 5),
-            "final_loss_bf16": round(loss_bf16, 4),
+            "throughput_config": {k: (round(v, 5) if isinstance(v, float)
+                                      else v)
+                                  for k, v in big.items()},
+            "mfu_bf16_analytic_matmul": round(mfu, 4) if mfu else None,
+            "train_b128_bf16": {
+                "segments_per_sec": round(b128_bf16["segments_per_sec"], 2),
+                "step_seconds": round(b128_bf16["step_seconds"], 5),
+                "step_seconds_hostsync": round(
+                    b128_bf16["step_seconds_hostsync"], 5),
+                "final_loss": round(b128_bf16["final_loss"], 4),
+            },
+            "train_b128_f32": {
+                "segments_per_sec": round(b128_f32["segments_per_sec"], 2),
+                "step_seconds": round(b128_f32["step_seconds"], 5),
+            },
             "tensorize_segments_per_sec": round(tens_per_sec, 1),
-            "sample_decode_segments_per_sec": round(dec_per_sec, 2),
+            "sample_decode": [
+                {"backend": d["backend"], "batch_size": d["batch_size"],
+                 "segments_per_sec": round(d["segments_per_sec"], 2),
+                 "ms_per_batch": round(d["ms_per_batch"], 1)}
+                for d in (dec_pallas, dec_xla)],
             "device": str(jax.devices()[0]),
-            "baseline_source": "BASELINE_MEASURED.json (torch reference on this host CPU)",
+            "baseline_source": "BASELINE_MEASURED.json (torch reference on "
+                               "this host CPU)",
         },
     }))
 

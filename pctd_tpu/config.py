@@ -98,6 +98,19 @@ class ModelConfig:
     # numerics: params stay f32; matmul-heavy paths may run in bf16.
     compute_dtype: str = "float32"
 
+    # Rematerialize each frame's note/dur decode in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for dropping the
+    # (T, K, B, hidden) saved-activation temps — required for training
+    # batches >= 1024 on a 16G-HBM chip (measured OOM at B=1024 without);
+    # also net faster from B >= 512 (less HBM activation traffic).
+    remat_frames: bool = False
+
+    # lax.scan unroll factors for the inner decoder chains. The dur chain is
+    # 2400 near-zero-FLOP links per step; unrolling merges its per-iteration
+    # ops into larger fusions (at some compile-time cost).
+    unroll_dur: int = 1
+    unroll_notes: int = 1
+
     @property
     def z_dim(self) -> int:
         return self.chd_z_dim + self.txt_z_dim
@@ -137,6 +150,10 @@ class TrainConfig:
     # final values (tfr lows, full beta), making val loss and the Trainer's
     # best-checkpoint selection comparable across epochs.
     eval_fixed_schedule: bool = False
+    # Gradient accumulation: split each batch into this many microbatches
+    # scanned sequentially (activation memory = one microbatch). Combine with
+    # ModelConfig.remat_frames for very large effective batches.
+    accum_steps: int = 1
     # run dirs / checkpointing
     result_root: str = "result"
     save_every_epoch: bool = True

@@ -116,7 +116,8 @@ def emb_x(p: dict, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
-                spec: PianoTreeSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                spec: PianoTreeSpec, unroll: int = 1
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """note_h (B, notes_hidden), est_pitch (B, pitch_range) ->
     (dur_logits (B, dur_width, 2), dur_bits (B, dur_width) argmax ints).
 
@@ -140,10 +141,8 @@ def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
         token = jax.nn.one_hot(ind, W, dtype=note_h.dtype)
         return (h, token), (out, ind)
 
-    # unroll=1: measured on v5e, unrolling this level does not change step
-    # time (the step is MXU-bound, not loop-overhead-bound) but balloons
-    # compile time ~1.5x
-    (_, _), (logits, bits) = jax.lax.scan(step, (h0, token0), None, length=W)
+    (_, _), (logits, bits) = jax.lax.scan(step, (h0, token0), None, length=W,
+                                          unroll=unroll)
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(bits, 0, 1)
 
 
@@ -161,7 +160,8 @@ def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,
 
 def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
                   x_emb_t: Optional[jnp.ndarray],
-                  coins2_t: Optional[jnp.ndarray], sos_emb: jnp.ndarray):
+                  coins2_t: Optional[jnp.ndarray], sos_emb: jnp.ndarray,
+                  unroll: Tuple[int, int] = (1, 1)):
     """Decode the <=K notes of one frame (reference ptvae.py:370-428).
 
     frame_h:  (B, time_hidden) — the time-GRU hidden for this frame
@@ -197,7 +197,8 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
         gt_k, coin_k, k = inp
         h = gru_cell_pre(p["notes_gru"], gi_frame + token @ w_tok, h)
         est_pitch = dense_apply(p["pitch_out"], h)
-        dur_logits, dur_bits = _decode_dur(p, h, est_pitch, spec)
+        dur_logits, dur_bits = _decode_dur(p, h, est_pitch, spec,
+                                           unroll=unroll[1])
         pitch_ind = jnp.argmax(est_pitch, -1)
         pred_raw = _pred_note_raw(pitch_ind, dur_bits, spec).astype(
             p["note_emb"]["w"].dtype)
@@ -210,7 +211,7 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
     ks = jnp.arange(1, K, dtype=jnp.int32)
     init = (hid0, token0, jnp.zeros((B,), jnp.int32))
     (_, _, lengths), (pitch_o, dur_o, pred_embs) = jax.lax.scan(
-        step, init, (gt_next, coins, ks))
+        step, init, (gt_next, coins, ks), unroll=unroll[0])
 
     lengths = jnp.where(lengths == 0, K - 1, lengths)
     pred_notes = jnp.concatenate(
@@ -274,6 +275,22 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     w_tok = p["time_gru"].w_ih[:tok_dim]
     gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
 
+    def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
+        """One frame's note+dur decode + predicted-frame summary. Wrapped in
+        jax.checkpoint when cfg.remat_frames: the backward then recomputes
+        the 15x(1+5) inner chain per frame instead of saving every inner
+        activation — the saved (32, 15, B, hidden) temps are what OOM HBM at
+        B >= 1024 (measured: 15.97G at B=1024 bf16 without remat)."""
+        pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
+            pp, spec, h, x_emb_t, c2_t, sos_e,
+            unroll=(cfg.unroll_notes, cfg.unroll_dur))
+        pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
+                                         pred_notes, pred_lens)
+        return pitch_o, dur_o, pred_summary
+
+    if cfg.remat_frames and not inference:
+        frame_fn = jax.checkpoint(frame_fn)
+
     def step(carry, inp):
         h, token = carry
         if inference:
@@ -282,10 +299,7 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
         else:
             x_sum_t, c1_t, c2_t, x_emb_t = inp
         h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
-        pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
-            p, spec, h, x_emb_t, c2_t, sos_emb)
-        pred_summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"],
-                                         pred_notes, pred_lens)
+        pitch_o, dur_o, pred_summary = frame_fn(p, h, x_emb_t, c2_t, sos_emb)
         token_next = jnp.where(c1_t, x_sum_t, pred_summary)
         return (h, token_next), (pitch_o, dur_o)
 

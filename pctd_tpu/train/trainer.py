@@ -98,18 +98,57 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.key)
 
+    accum = tcfg.accum_steps
+
+    def grad_accum_fn(params, step, key, x, c, pr_mat, dt_x):
+        """Gradient accumulation: split the batch into ``accum`` microbatches
+        and lax.scan over them (activation memory = one microbatch; the
+        effective batch is the full input). Grads/metrics are microbatch
+        means, matching a single large-batch step up to CE-mask denominators."""
+
+        def micro(a):
+            return jax.tree_util.tree_map(
+                lambda t: t.reshape(accum, t.shape[0] // accum,
+                                    *t.shape[1:]), a)
+
+        xs = (micro(x), micro(c), micro(pr_mat),
+              micro(dt_x) if dt_x is not None else None)
+
+        def body(carry, inp):
+            i, acc_m, acc_g = carry
+            xi, ci, pi, di = inp
+            mkey = jax.random.fold_in(key, i)
+            m, g = grad_fn(params, step, mkey, xi, ci, pi, di)
+            acc_m = jax.tree_util.tree_map(jnp.add, acc_m, m)
+            acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+            return (i + 1, acc_m, acc_g), None
+
+        zero_m, zero_g = jax.tree_util.tree_map(
+            jnp.zeros_like,
+            jax.eval_shape(grad_fn, params, step, key, *[
+                jax.tree_util.tree_map(lambda t: t[: t.shape[0] // accum], a)
+                if a is not None else None
+                for a in (x, c, pr_mat, dt_x)]))
+        (_, sum_m, sum_g), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.int32), zero_m, zero_g), xs)
+        inv = 1.0 / accum
+        return (jax.tree_util.tree_map(lambda t: t * inv, sum_m),
+                jax.tree_util.tree_map(lambda t: t * inv, sum_g))
+
+    effective_grad_fn = grad_accum_fn if accum > 1 else grad_fn
+
     if not split:
         def fused(state: TrainState, pr, chord, shift):
             x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
             key = jax.random.fold_in(state.key, state.step)
-            metrics, grads = grad_fn(state.params, state.step, key, x, c,
-                                     pr_mat, dt_x)
+            metrics, grads = effective_grad_fn(state.params, state.step, key,
+                                               x, c, pr_mat, dt_x)
             return update_fn(state, grads), metrics
 
         return jax.jit(fused, donate_argnums=(0,))
 
     tens_jit = jax.jit(partial(batch_features, mcfg=mcfg))
-    grad_jit = jax.jit(grad_fn)
+    grad_jit = jax.jit(effective_grad_fn)
     upd_jit = jax.jit(update_fn, donate_argnums=(0,))
     fold_jit = jax.jit(lambda key, step: jax.random.fold_in(key, step))
 

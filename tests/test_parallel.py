@@ -1,5 +1,9 @@
 """Data-parallel mesh tests on the virtual 8-device CPU mesh."""
 import dataclasses
+
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-device mesh, compile-heavy
 from functools import partial
 
 import numpy as np
@@ -51,11 +55,6 @@ def test_parallel_train_step_runs_and_replicates():
 
 def test_mesh_loss_matches_single_device():
     """Deterministic loss (posterior means, full teacher forcing): the
-
-import pytest
-
-pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
-
     pmean over an 8-way sharded batch equals the single-program loss."""
     mesh = make_mesh(8)
     params = dv.init_params(jax.random.PRNGKey(1), SMALL)

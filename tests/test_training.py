@@ -170,6 +170,65 @@ def test_eval_fixed_schedule(corpora):
     assert fp["beta"] == tcfg.beta and fp["tfr1"] == tcfg.tf_rates[0][1]
 
 
+def test_remat_frames_grad_parity(corpora):
+    """remat_frames=True (the large-batch memory config) must give the same
+    loss and gradients as the default (it only changes what the backward
+    saves vs recomputes)."""
+    from pctd_tpu.models import disentangle_vae as dv
+    from pctd_tpu.train.trainer import batch_features
+
+    train, val = corpora
+    tl, _ = make_loaders(train, val, batch_size=8, seed=0)
+    batch = next(tl.epoch())
+    x, c, pr_mat, _ = batch_features(
+        jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
+        jnp.asarray(batch["shift"]), SMALL)
+    key = jax.random.PRNGKey(3)
+
+    def loss_and_grad(cfg):
+        params = dv.init_params(jax.random.PRNGKey(0), cfg)
+
+        def f(p):
+            total, _ = dv.loss(p, cfg, key, x, c, pr_mat, None,
+                               tfr1=0.5, tfr2=0.5, tfr3=0.5)
+            return total
+
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss_and_grad(SMALL)
+    l1, g1 = loss_and_grad(dataclasses.replace(SMALL, remat_frames=True))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accumulation_close_to_full_batch(corpora):
+    """accum_steps=4 must produce a step close to the single-batch step (not
+    identical: per-microbatch RNG coins and CE-mask denominators differ)."""
+    train, val = corpora
+    tl, _ = make_loaders(train, val, batch_size=8, seed=0)
+    batch = next(tl.epoch())
+    args = (jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
+            jnp.asarray(batch["shift"]))
+
+    def run(accum):
+        tcfg = dataclasses.replace(TrainConfig(), batch_size=8,
+                                   accum_steps=accum)
+        state, tx = init_state(jax.random.PRNGKey(0), SMALL, tcfg)
+        step = make_train_step(SMALL, tcfg, tx)
+        state, metrics = step(state, *args)
+        return float(metrics["loss"]), state
+
+    l1, s1 = run(1)
+    l4, s4 = run(4)
+    assert np.isfinite(l1) and np.isfinite(l4)
+    assert abs(l1 - l4) / abs(l1) < 0.05
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
 @pytest.mark.slow
 def test_pianotree_variant_train_step(corpora):
     train, val = corpora

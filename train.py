@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--result-dir", default=".")
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize per-frame decoder activations "
+                         "(enables batch >= 1024 on a 16G chip)")
+    ap.add_argument("--accum-steps", type=int, default=1,
+                    help="gradient-accumulation microbatches per step")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="capture a jax.profiler trace of N early steps")
     args = ap.parse_args()
@@ -69,11 +74,13 @@ def main():
     from pctd_tpu.train.trainer import Trainer
 
     mcfg = ModelConfig(txt_encoder=args.variant,
-                       compute_dtype=args.compute_dtype)
+                       compute_dtype=args.compute_dtype,
+                       remat_frames=args.remat)
     tcfg = TrainConfig(batch_size=args.batch_size, n_epoch=args.epochs,
                        lr=args.lr, beta=args.beta, clip_norm=args.clip,
                        seed=args.seed, sched_horizon=args.sched_horizon,
-                       eval_fixed_schedule=args.eval_fixed_schedule)
+                       eval_fixed_schedule=args.eval_fixed_schedule,
+                       accum_steps=args.accum_steps)
     dcfg = DataConfig(data_path=args.data_path, seed=args.seed)
 
     if args.midi_dir:
