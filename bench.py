@@ -28,7 +28,8 @@ PEAK_FLOPS = {  # per chip, dense
 
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
-                      with_cost: bool = False, remat: bool = False):
+                      with_cost: bool = False, remat: bool = False,
+                      unroll_dur: int = 1):
     import dataclasses
 
     import jax
@@ -42,7 +43,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     from __graft_entry__ import _example_batch
 
     mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
-                               remat_frames=remat)
+                               remat_frames=remat, unroll_dur=unroll_dur)
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -213,9 +214,11 @@ def main():
     # inner-scan activations OOM a 16G chip at B >= 1024 without it; remat is
     # also net FASTER from B >= 512 — less HBM activation traffic).
     # Measured plateau: B=2048 ~4.9k seg/s; B=4096 OOMs even with remat.
+    # (measured variants at B=2048: unroll_dur=5 ~4960 seg/s vs 4880 at
+    # unroll 1; unrolling the note level too regresses to ~4470)
     big = _bench_train_step(n_steps=8, batch_size=2048,
                             compute_dtype="bfloat16", with_cost=True,
-                            remat=True)
+                            remat=True, unroll_dur=5)
     # canonical-parity configs at the reference batch size
     b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
     b128_f32 = _bench_train_step(compute_dtype="float32")

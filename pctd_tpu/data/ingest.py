@@ -281,9 +281,19 @@ def collect_midi_fns(root: str) -> List[str]:
 
 def ingest_directory(root: str, cfg: Optional[DataConfig] = None,
                      split_tracks: bool = True,
+                     cache: Optional[str] = None,
                      ) -> Tuple[SegmentCorpus, SegmentCorpus]:
     """Every MIDI under ``root`` -> (train, val) SegmentCorpus via the same
-    song-level split discipline as the npz path (corpus.build_corpora)."""
+    song-level split discipline as the npz path (corpus.build_corpora).
+
+    ``cache``: optional path prefix; when both ``<cache>.train.npz`` and
+    ``<cache>.val.npz`` exist they are loaded instead of re-ingesting, and
+    they are written after a fresh ingest (packed corpora are ~5 KB/segment,
+    so the demo corpus caches at ~15 MB)."""
+    if cache:
+        tr_fn, va_fn = f"{cache}.train.npz", f"{cache}.val.npz"
+        if os.path.exists(tr_fn) and os.path.exists(va_fn):
+            return SegmentCorpus.load(tr_fn), SegmentCorpus.load(va_fn)
     cfg = cfg or DataConfig()
     musics = []
     skipped = []
@@ -297,4 +307,9 @@ def ingest_directory(root: str, cfg: Optional[DataConfig] = None,
               f"(first: {skipped[0]})")
     if not musics:
         raise FileNotFoundError(f"no ingestable MIDI files under {root}")
-    return build_corpora(musics, cfg)
+    train, val = build_corpora(musics, cfg)
+    if cache:
+        os.makedirs(os.path.dirname(os.path.abspath(tr_fn)), exist_ok=True)
+        train.save(tr_fn)
+        val.save(va_fn)
+    return train, val

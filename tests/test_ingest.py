@@ -93,6 +93,51 @@ def test_midi_to_musics_structure():
     assert len(ms) == 4
 
 
+def test_read_beats_exact_under_tempo_change(tmp_path):
+    """Beat positions from read_beats are tick-derived, so a mid-file tempo
+    change must NOT skew them (a seconds-domain reader would drift)."""
+    import struct
+
+    from pctd_tpu.data.midi_io import _varlen
+
+    division = 480
+
+    def ev(delta, data):
+        return _varlen(delta) + data
+
+    def tempo(uspq):
+        return bytes([0xFF, 0x51, 0x03]) + uspq.to_bytes(3, "big")
+
+    # 120 bpm for 2 beats, then 60 bpm; notes at beats 0,1,2,3 (one beat long)
+    track = ev(0, tempo(500_000))
+    prev = 0
+    events = []
+    for beat in (0, 1, 2, 3):
+        events.append((beat * division, bytes([0x90, 60 + beat, 100])))
+        events.append(((beat + 1) * division, bytes([0x80, 60 + beat, 0])))
+    events.insert(0, (2 * division, tempo(1_000_000)))
+    events.sort(key=lambda e: e[0])
+    for tick, data in events:
+        track += ev(tick - prev, data)
+        prev = tick
+    track += ev(0, bytes([0xFF, 0x2F, 0x00]))
+    data = (struct.pack(">4sIHHH", b"MThd", 6, 0, 1, division)
+            + struct.pack(">4sI", b"MTrk", len(track)) + track)
+    fn = str(tmp_path / "tempo_change.mid")
+    with open(fn, "wb") as f:
+        f.write(data)
+
+    bm = midi_io.read_beats(fn)
+    starts = [n[0] for n in bm.tracks[0].notes]
+    ends = [n[1] for n in bm.tracks[0].notes]
+    assert starts == [0.0, 1.0, 2.0, 3.0]       # exact despite tempo change
+    assert ends == [1.0, 2.0, 3.0, 4.0]
+    # while the seconds-domain reader maps beats 2.. at the slower tempo
+    mf = midi_io.MidiFile.read(fn)
+    secs = [n.start for n in mf.tracks[0].notes]
+    assert abs(secs[1] - 0.5) < 1e-6 and abs(secs[3] - 2.0) < 1e-6
+
+
 def test_read_beats_tick_exact():
     fn = f"{DEMO}/2_texture_variation/prior_sampling/C-Am-F-G.mid"
     bm = midi_io.read_beats(fn)
@@ -104,14 +149,19 @@ def test_read_beats_tick_exact():
 
 
 @pytest.mark.slow
-def test_ingest_directory_end_to_end():
+def test_ingest_directory_end_to_end(tmp_path):
     import dataclasses
 
     from pctd_tpu.config import DataConfig
     from pctd_tpu.data.ingest import ingest_directory
 
     cfg = dataclasses.replace(DataConfig(), portion=8)
-    train, val = ingest_directory(DEMO, cfg)
+    cache = str(tmp_path / "corpus")
+    train, val = ingest_directory(DEMO, cfg, cache=cache)
+    # cache round-trip: second call loads identical corpora from disk
+    train2, val2 = ingest_directory(DEMO, cfg, cache=cache)
+    np.testing.assert_array_equal(train.pr, train2.pr)
+    np.testing.assert_array_equal(val.chord, val2.chord)
     assert len(train) > 2000 and len(val) > 200
     assert train.pr.dtype == np.uint8
     assert train.pr.shape[1:] == (32, 128)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--midi-dir", default=None,
                     help="build the corpus by ingesting raw MIDI files "
                          "under this directory (pctd_tpu.data.ingest)")
+    ap.add_argument("--corpus-cache", default=None, metavar="PREFIX",
+                    help="cache the ingested corpus at PREFIX.{train,val}.npz")
     ap.add_argument("--synthetic-songs", type=int, default=40,
                     help="synthetic corpus size when no npz data exists")
     ap.add_argument("--sched-horizon", type=float, default=1.0)
@@ -85,7 +87,8 @@ def main():
 
     if args.midi_dir:
         from pctd_tpu.data.ingest import ingest_directory
-        train_c, val_c = ingest_directory(args.midi_dir, dcfg)
+        train_c, val_c = ingest_directory(args.midi_dir, dcfg,
+                                          cache=args.corpus_cache)
         print(f"corpus: {len(train_c)} train / {len(val_c)} val segments "
               f"(ingested MIDI at {args.midi_dir})")
     elif os.path.isdir(args.data_path):
