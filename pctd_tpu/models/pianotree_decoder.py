@@ -359,11 +359,17 @@ def decode_grid(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     """Inference decode straight to the estimated grid (B, T, K-1, 6).
 
     ``frame_decoder='pallas'`` runs each frame's note+duration levels in the
-    fused VMEM kernel (pctd_tpu.ops.pallas.ar_decoder) — the serving path;
+    fused VMEM kernel (pctd_tpu.ops.pallas.ar_decoder); ``'pallas_full'``
+    runs the ENTIRE decode (time loop included) in one kernel with all
+    weights resident in VMEM (ops/pallas/full_decoder) — the serving path;
     'xla' uses the nested-scan decode (the reference-parity path).
     """
     if frame_decoder == "xla":
         return output_to_grid(decode(p, cfg, z))
+    if frame_decoder == "pallas_full":
+        from pctd_tpu.ops.pallas import decode_grid_fused
+
+        return decode_grid_fused(p, cfg, z, interpret=interpret)
     from pctd_tpu.ops.pallas import frame_decode_pallas
 
     spec = cfg.pianotree

@@ -24,6 +24,12 @@ class Sampler:
     def __init__(self, params: dict, cfg: ModelConfig,
                  frame_decoder: str = "pallas"):
         self.params = params
+        if frame_decoder == "xla" and cfg.unroll_dur == 1:
+            # serving default: unrolled dur chain measures ~10% faster at
+            # B=128 (47.9 vs 52.9 ms/batch) with identical outputs
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, unroll_dur=5)
         self.cfg = cfg
         self.frame_decoder = frame_decoder
         self._decode = jax.jit(partial(dv.decode_z, cfg=cfg,

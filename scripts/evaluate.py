@@ -9,7 +9,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -35,7 +34,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

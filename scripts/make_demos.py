@@ -44,7 +44,7 @@ def main():
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pctd_tpu.config import DataConfig, ModelConfig, PianoTreeSpec
+    from pctd_tpu.config import DataConfig, ModelConfig
     from pctd_tpu.data import demo as dm
     from pctd_tpu.data.synthetic import synthetic_corpora
     from pctd_tpu.data.tensorize import tensorize_batch

@@ -4,7 +4,6 @@ The decoder/encoder stack is GRUs end to end, so exact cell/final-state parity
 here underwrites every module above (SURVEY.md §4 test strategy).
 """
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 

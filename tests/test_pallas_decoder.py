@@ -9,8 +9,6 @@ import pytest
 
 pytestmark = pytest.mark.slow  # torch-oracle / mesh / compile-heavy
 
-import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
@@ -72,3 +70,27 @@ def test_decode_grid_pallas_canonical_dims():
     grid_pl = ptd.decode_grid(p, cfg, z, frame_decoder="pallas",
                               interpret=True)
     assert (np.asarray(grid_pl) == np.asarray(grid_xla)).mean() > 0.999
+
+
+def test_full_decoder_kernel_matches_xla():
+    """Whole-decode fused kernel (all 32 time steps in one pallas_call,
+    ops/pallas/full_decoder.py) is bit-exact vs the XLA nested-scan decode
+    in interpreter mode."""
+    from pctd_tpu.ops.pallas.full_decoder import decode_grid_fused
+
+    cfg = SMALL
+    p = ptd.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.z_dim))
+    ref = np.asarray(ptd.decode_grid(p, cfg, z, frame_decoder="xla"))
+    fused = np.asarray(decode_grid_fused(p, cfg, z, interpret=True))
+    np.testing.assert_array_equal(ref, fused)
+
+
+def test_full_decoder_via_decode_grid_dispatch():
+    cfg = SMALL
+    p = ptd.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.z_dim))
+    a = np.asarray(ptd.decode_grid(p, cfg, z, frame_decoder="pallas_full",
+                                   interpret=True))
+    b = np.asarray(ptd.decode_grid(p, cfg, z, frame_decoder="xla"))
+    np.testing.assert_array_equal(a, b)

@@ -4,7 +4,6 @@ import dataclasses
 import pytest
 
 pytestmark = pytest.mark.slow  # 8-device mesh, compile-heavy
-from functools import partial
 
 import numpy as np
 import jax

@@ -10,7 +10,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pctd_tpu.config import ModelConfig
 from pctd_tpu.models import disentangle_vae as dv
 from pctd_tpu.utils.precision import cast_params
 
