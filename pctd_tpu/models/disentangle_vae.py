@@ -177,6 +177,14 @@ def encode(params: dict, cfg: ModelConfig, pr_mat, c, dt_x=None
             _texture_dist(params, cfg, pr_mat, dt_x))
 
 
+def encode_chord(params: dict, cfg: ModelConfig, c) -> DiagNormal:
+    """Chord latent alone from an expanded (B, 8, 36) chord tensor — the
+    entry point for chord-symbol-conditioned generation (scripts/generate.py)
+    where no piano roll exists."""
+    params, c = _apply_precision(params, cfg, c)
+    return chd_enc.apply(params["chd_enc"], c)
+
+
 def decode_z(params: dict, cfg: ModelConfig, z_chd, z_rhy,
              frame_decoder: str = "xla") -> jnp.ndarray:
     """Pure autoregressive decode of latents -> estimated grid

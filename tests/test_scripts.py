@@ -77,6 +77,27 @@ def test_make_demos_tiny(tmp_path):
     assert_demo_tree_structure(out, k=2)
 
 
+@pytest.mark.slow
+def test_generate_cli_smoke(tmp_path):
+    """Chord-conditioned generation CLI produces a parseable MIDI with the
+    requested track count (untrained model: structure only; chord-following
+    is validated against the chord estimator in round-trip tests and with
+    trained checkpoints)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PCTD_JAX_CACHE=str(tmp_path / "cache"))
+    out = str(tmp_path / "gen.mid")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "generate.py"),
+         "--chords", "C-Am-F-G", "--bars", "2", "--samples", "2",
+         "--out", out],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    from pctd_tpu.data.midi_io import MidiFile
+    mf = MidiFile.read(out)
+    assert len(mf.tracks) == 2
+    assert all(t.name.startswith("sample_") for t in mf.tracks)
+
+
 def test_committed_realmidi_demo_tree_structure():
     """The demo tree regenerated from the real-music checkpoint (committed
     under runs/) must keep the reference's structure."""
