@@ -170,6 +170,7 @@ def test_eval_fixed_schedule(corpora):
     assert fp["beta"] == tcfg.beta and fp["tfr1"] == tcfg.tf_rates[0][1]
 
 
+@pytest.mark.slow
 def test_remat_frames_grad_parity(corpora):
     """remat_frames=True (the large-batch memory config) must give the same
     loss and gradients as the default (it only changes what the backward
@@ -203,6 +204,7 @@ def test_remat_frames_grad_parity(corpora):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_close_to_full_batch(corpora):
     """accum_steps=4 must produce a step close to the single-batch step (not
     identical: per-microbatch RNG coins and CE-mask denominators differ)."""
