@@ -13,10 +13,17 @@ import jax.numpy as jnp
 
 def _nll(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Per-element negative log likelihood. logits (..., C), targets (...).
-    Loss math always runs in f32 (bf16 compute paths cast here)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    tgt = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -tgt
+    Loss math always runs in f32 (bf16 compute paths cast here).
+
+    nll = logsumexp(logits) - logits[target], with the pick expressed as a
+    one-hot contraction: ``take_along_axis`` over the class (lane) dimension
+    is pathological on TPU (measured 21.8 ms vs 4.7 ms for the full pitch CE
+    at B=2048), while one-hot-and-reduce stays in the vector unit."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lg, axis=-1)
+    one_hot = jax.nn.one_hot(targets, lg.shape[-1], dtype=lg.dtype)
+    picked = jnp.einsum("...c,...c->...", lg, one_hot)
+    return lse - picked
 
 
 def cross_entropy_ignore(logits: jax.Array, targets: jax.Array,
