@@ -40,3 +40,37 @@ def test_sampler_workflows():
                      jnp.asarray(pr2), jnp.asarray(c2), interp_chd=True,
                      int_count=3)
     np.testing.assert_array_equal(est, want)
+
+
+def test_sampler_mesh_sharded_parity():
+    """A ('data',)-mesh Sampler must produce the same outputs as the
+    single-program Sampler (batch sharding is semantics-free; the workflows
+    have no cross-sample dependency)."""
+    from pctd_tpu.parallel import make_mesh
+
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    single = Sampler(params, SMALL, frame_decoder="xla")
+    mesh = make_mesh(8)
+    sharded = Sampler(params, SMALL, frame_decoder="xla", mesh=mesh)
+
+    x, c, pr_mat = random_batch(8, seed=60)
+    x2, c2, pr2 = random_batch(8, seed=61)
+    key = jax.random.PRNGKey(2)
+
+    a = single.swap(pr_mat, pr2, c, c2, fix_rhy=False, fix_chd=True)
+    b = sharded.swap(pr_mat, pr2, c, c2, fix_rhy=False, fix_chd=True)
+    np.testing.assert_array_equal(a, b)
+
+    # deterministic latents -> identical decode through the sharded path
+    d_chd, d_rhy = single.encode(pr_mat, c)
+    s_chd, s_rhy = sharded.encode(pr_mat, c)
+    np.testing.assert_allclose(np.asarray(d_chd.mean),
+                               np.asarray(s_chd.mean), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_rhy.std),
+                               np.asarray(s_rhy.std), atol=1e-5)
+    np.testing.assert_array_equal(single.decode(d_chd.mean, d_rhy.mean),
+                                  sharded.decode(d_chd.mean, d_rhy.mean))
+
+    with pytest.raises(ValueError):
+        sharded.decode(np.zeros((6, SMALL.chd_z_dim)),
+                       np.zeros((6, SMALL.txt_z_dim)))
