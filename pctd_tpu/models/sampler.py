@@ -27,8 +27,20 @@ from pctd_tpu.models import disentangle_vae as dv
 
 
 class Sampler:
+    """``fixed_batch=N`` turns on production-serving shape discipline: every
+    encode/decode pads its batch up to N (zeros) and slices the result back,
+    so requests of any size reuse ONE compiled program instead of paying a
+    multi-minute TPU compile per new shape; batches larger than N run in
+    N-sized chunks."""
+
     def __init__(self, params: dict, cfg: ModelConfig,
-                 frame_decoder: str = "pallas", mesh=None):
+                 frame_decoder: str = "pallas", mesh=None,
+                 fixed_batch: Optional[int] = None):
+        if fixed_batch is not None and mesh is not None \
+                and fixed_batch % mesh.size:
+            raise ValueError(f"fixed_batch {fixed_batch} not divisible by "
+                             f"mesh size {mesh.size}")
+        self.fixed_batch = fixed_batch
         self.params = params
         if frame_decoder == "xla" and cfg.unroll_dur == 1:
             # serving default: unrolled dur chain measures ~10% faster at
@@ -69,24 +81,54 @@ class Sampler:
 
     # -- core ------------------------------------------------------------------
 
+    def _chunked(self, fn, *arrays):
+        """Run ``fn`` over fixed_batch-sized zero-padded chunks of the
+        arrays (axis 0) and concatenate the un-padded results."""
+        n = arrays[0].shape[0]
+        fb = self.fixed_batch
+        if fb is None:
+            return fn(*arrays)
+        outs = []
+        for lo in range(0, n, fb):
+            take = min(fb, n - lo)
+            chunk = [jnp.concatenate(
+                [a[lo:lo + take],
+                 jnp.zeros((fb - take,) + a.shape[1:], a.dtype)])
+                if take < fb else a[lo:lo + fb] for a in arrays]
+            out = fn(*chunk)
+            outs.append(jax.tree_util.tree_map(lambda t: t[:take], out))
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *ts: jnp.concatenate(ts, axis=0), *outs)
+
     def encode(self, pr_mat, c, dt_x=None):
         pr_mat, c = jnp.asarray(pr_mat), jnp.asarray(c)
-        if self.mesh is None:
+        if self.mesh is None and self.fixed_batch is None:
             return self._encode(self.params, pr_mat=pr_mat, c=c,
                                 dt_x=None if dt_x is None
                                 else jnp.asarray(dt_x))
-        if dt_x is None:
-            return self._encode(self.params, pr_mat, c)
-        return self._encode_sharded(self.params, pr_mat, c,
-                                    jnp.asarray(dt_x))
+        if self.mesh is None:
+            f = lambda pm, cc, dd=None: self._encode(
+                self.params, pr_mat=pm, c=cc, dt_x=dd)
+        elif dt_x is None:
+            f = lambda pm, cc: self._encode(self.params, pm, cc)
+        else:
+            f = lambda pm, cc, dd: self._encode_sharded(self.params, pm,
+                                                        cc, dd)
+        args = (pr_mat, c) if dt_x is None else (pr_mat, c,
+                                                 jnp.asarray(dt_x))
+        return self._chunked(f, *args)
 
     def decode(self, z_chd, z_rhy) -> np.ndarray:
         z_chd, z_rhy = jnp.asarray(z_chd), jnp.asarray(z_rhy)
-        if self.mesh is not None and z_chd.shape[0] % self.mesh.size:
+        if self.mesh is not None and self.fixed_batch is None \
+                and z_chd.shape[0] % self.mesh.size:
             raise ValueError(
                 f"batch {z_chd.shape[0]} not divisible by mesh size "
                 f"{self.mesh.size}")
-        return np.asarray(self._decode(self.params, z_chd, z_rhy))
+        return np.asarray(self._chunked(
+            lambda zc, zr: self._decode(self.params, zc, zr), z_chd, z_rhy))
 
     def reconstruct(self, pr_mat, c, sample: bool = False,
                     key: Optional[jax.Array] = None) -> np.ndarray:

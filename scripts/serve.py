@@ -1,0 +1,220 @@
+"""Serving daemon: the four latent-control workflows as a long-running
+JSON-lines service.
+
+The reference runs its controllable-generation workflows as one-off
+notebook/script calls; for production serving this process loads a
+checkpoint ONCE, compiles each workflow program ONCE (fixed-batch shape
+discipline via ``Sampler(fixed_batch=N)`` — arbitrary request sizes are
+padded/chunked, never recompiled), and then answers requests over
+stdin/stdout, one JSON object per line:
+
+    {"op": "ping"}
+    {"op": "style_transfer", "content": "a.mid", "style": "b.mid",
+     "out": "out.mid", "fix": "chord"}          # fix: chord | texture
+    {"op": "variation", "input": "a.mid", "out": "v.mid", "scale": 0.5,
+     "seed": 3}                                  # posterior sampling
+    {"op": "prior", "input": "a.mid", "out": "p.mid",
+     "sample": "texture", "seed": 0}             # texture | chord | both
+    {"op": "interp", "a": "a.mid", "b": "b.mid", "out": "i_%02d.mid",
+     "count": 5, "what": "chord"}                # chord | texture | both
+    {"op": "quit"}
+
+Responses: {"ok": true, "out": ..., "windows": N, "ms": T} or
+{"ok": false, "error": "..."}.
+
+Usage:
+    python scripts/serve.py --checkpoint runs/result_*/models/disvae_valid \
+        [--fixed-batch 16] [--frame-decoder pallas] [--data-parallel]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_windows(path: str, spec, max_windows: int = 64):
+    """MIDI file -> (pr (N,32,128), mel, chord (N,8,14), bpm): consecutive
+    non-overlapping 2-bar windows (the whole-song batching of
+    collect_song.py, SURVEY §3.4)."""
+    import numpy as np
+
+    from pctd_tpu.data.corpus import song_to_segments
+    from pctd_tpu.data.ingest import midi_to_musics
+
+    music = midi_to_musics(path, split_tracks=False)[0]
+    seg = song_to_segments(music, 0)
+    if seg is None or len(seg) == 0:
+        raise ValueError(f"{path}: no valid 2-bar windows")
+    keep = [i for i in range(len(seg)) if seg.bar_pos[i] % 2 == 0]
+    keep = keep[:max_windows]
+    return (seg.pr[keep], seg.mel[keep], seg.chord[keep], music.bpm)
+
+
+def features(pr, chord, spec):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pctd_tpu.data.converter import batch_expand_chord
+    from pctd_tpu.data.tensorize import tensorize_batch
+
+    feats = tensorize_batch(jnp.asarray(pr), jnp.asarray(chord),
+                            jnp.zeros(len(pr), jnp.int32), spec=spec,
+                            with_detrend=False)
+    return feats["pr_mat"], jnp.asarray(
+        batch_expand_chord(chord, np.zeros(len(chord))))
+
+
+def write_grids(path: str, grids, bpm: float, spec):
+    import numpy as np
+
+    from pctd_tpu.data import demo as dm
+
+    segments = [dm.grid_to_pr_and_notes(np.asarray(g), bpm=bpm,
+                                        spec=spec)[1] for g in grids]
+    dm.write_demo(path, [segments], ["generated"], bpm=bpm, shift_beat=8)
+    return sum(len(s) for s in segments if s)
+
+
+class Server:
+    def __init__(self, sampler, spec, max_windows: int = 64):
+        self.s = sampler
+        self.spec = spec
+        self.max_windows = max_windows
+
+    def _load(self, path):
+        pr, _, chord, bpm = load_windows(path, self.spec, self.max_windows)
+        pr_mat, c = features(pr, chord, self.spec)
+        return pr_mat, c, bpm
+
+    def handle(self, req: dict) -> dict:
+        import jax
+
+        op = req.get("op")
+        if op == "ping":
+            return {"ok": True}
+        if op == "style_transfer":
+            pm1, c1, bpm = self._load(req["content"])
+            pm2, c2, _ = self._load(req["style"])
+            n = min(len(pm1), len(pm2))
+            fix_chd = req.get("fix", "chord") == "chord"
+            est = self.s.swap(pm1[:n], pm2[:n], c1[:n], c2[:n],
+                              fix_rhy=not fix_chd, fix_chd=fix_chd)
+            notes = write_grids(req["out"], est, bpm, self.spec)
+            return {"ok": True, "out": req["out"], "windows": int(n),
+                    "notes": int(notes)}
+        if op == "variation":
+            pm, c, bpm = self._load(req["input"])
+            key = jax.random.PRNGKey(int(req.get("seed", 0)))
+            est = self.s.posterior_sample(key, pm, c,
+                                          scale=req.get("scale"))
+            notes = write_grids(req["out"], est, bpm, self.spec)
+            return {"ok": True, "out": req["out"], "windows": len(pm),
+                    "notes": int(notes)}
+        if op == "prior":
+            pm, c, bpm = self._load(req["input"])
+            key = jax.random.PRNGKey(int(req.get("seed", 0)))
+            what = req.get("sample", "texture")
+            est = self.s.prior_sample(key, pm, c,
+                                      sample_chd=what in ("chord", "both"),
+                                      sample_rhy=what in ("texture", "both"),
+                                      scale=float(req.get("scale", 1.0)))
+            notes = write_grids(req["out"], est, bpm, self.spec)
+            return {"ok": True, "out": req["out"], "windows": len(pm),
+                    "notes": int(notes)}
+        if op == "interp":
+            pm1, c1, bpm = self._load(req["a"])
+            pm2, c2, _ = self._load(req["b"])
+            n = min(len(pm1), len(pm2))
+            count = int(req.get("count", 5))
+            what = req.get("what", "chord")
+            est = self.s.interp(pm1[:n], c1[:n], pm2[:n], c2[:n],
+                                interp_chd=what in ("chord", "both"),
+                                interp_rhy=what in ("texture", "both"),
+                                int_count=count)
+            outs = []
+            for j in range(count):
+                out = req["out"] % j if "%" in req["out"] else \
+                    f"{req['out']}.{j}.mid"
+                write_grids(out, est[:, j], bpm, self.spec)
+                outs.append(out)
+            return {"ok": True, "out": outs, "windows": int(n)}
+        raise ValueError(f"unknown op {op!r}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--fixed-batch", type=int, default=16)
+    ap.add_argument("--max-windows", type=int, default=64)
+    ap.add_argument("--frame-decoder", default="xla",
+                    choices=["xla", "pallas", "pallas_full"])
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard request batches over all visible devices")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model dims (CI smoke, untrained)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from pctd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from pctd_tpu.config import ModelConfig
+    from pctd_tpu.models.disentangle_vae import DisentangleVAE
+    from pctd_tpu.models.sampler import Sampler
+
+    if args.tiny:
+        cfg = dataclasses.replace(
+            ModelConfig(), chd_z_dim=8, txt_z_dim=8, chd_enc_hidden=12,
+            txt_emb_size=12, txt_enc_hidden=12, chd_dec_hidden=12,
+            chd_dec_z_in=8, note_emb_size=12, dec_emb_hidden=8,
+            dec_time_hidden=16, dec_notes_hidden=12, dec_z_in=8,
+            dec_dur_hidden=8)
+    else:
+        cfg = ModelConfig()
+    if args.checkpoint:
+        model = DisentangleVAE.from_train_checkpoint(args.checkpoint, cfg)
+        print(json.dumps({"loaded": args.checkpoint}), flush=True)
+    else:
+        model = DisentangleVAE.init_model(jax.random.PRNGKey(args.seed), cfg)
+        print(json.dumps({"warning": "no checkpoint - untrained model"}),
+              flush=True)
+
+    mesh = None
+    if args.data_parallel:
+        from pctd_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    sampler = Sampler(model.params, cfg, frame_decoder=args.frame_decoder,
+                      mesh=mesh, fixed_batch=args.fixed_batch)
+    server = Server(sampler, cfg.pianotree, args.max_windows)
+    print(json.dumps({"ready": True, "fixed_batch": args.fixed_batch,
+                      "devices": jax.device_count() if mesh else 1}),
+          flush=True)
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        t0 = time.perf_counter()
+        try:
+            req = json.loads(line)
+            if req.get("op") == "quit":
+                print(json.dumps({"ok": True, "bye": True}), flush=True)
+                break
+            resp = server.handle(req)
+        except Exception as e:                      # serve loop must survive
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        resp["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        print(json.dumps(resp), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,34 @@ def test_sampler_mesh_sharded_parity():
     with pytest.raises(ValueError):
         sharded.decode(np.zeros((6, SMALL.chd_z_dim)),
                        np.zeros((6, SMALL.txt_z_dim)))
+
+
+@pytest.mark.slow  # compiles 6+ program shapes on the CPU mesh
+def test_sampler_fixed_batch_parity():
+    """fixed_batch pads/chunks to one compiled shape; outputs must equal the
+    plain per-shape path for n < N, n == N and n > N (chunked)."""
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    plain = Sampler(params, SMALL, frame_decoder="xla")
+    fixed = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4)
+
+    for n in (2, 4, 7):
+        x, c, pr_mat = random_batch(n, seed=70 + n)
+        d_chd, d_rhy = plain.encode(pr_mat, c)
+        f_chd, f_rhy = fixed.encode(pr_mat, c)
+        np.testing.assert_allclose(np.asarray(d_chd.mean),
+                                   np.asarray(f_chd.mean), atol=1e-5)
+        np.testing.assert_array_equal(
+            plain.decode(d_chd.mean, d_rhy.mean),
+            fixed.decode(d_chd.mean, d_rhy.mean))
+
+    # mesh + fixed_batch: divisibility enforced at construction
+    from pctd_tpu.parallel import make_mesh
+    with pytest.raises(ValueError):
+        Sampler(params, SMALL, frame_decoder="xla", mesh=make_mesh(8),
+                fixed_batch=12)
+    both = Sampler(params, SMALL, frame_decoder="xla", mesh=make_mesh(8),
+                   fixed_batch=8)
+    x, c, pr_mat = random_batch(3, seed=80)
+    d_chd, d_rhy = plain.encode(pr_mat, c)
+    np.testing.assert_array_equal(plain.decode(d_chd.mean, d_rhy.mean),
+                                  both.decode(d_chd.mean, d_rhy.mean))

@@ -105,3 +105,47 @@ def test_committed_realmidi_demo_tree_structure():
     if not os.path.isdir(out):
         pytest.skip("no committed real-midi demo tree")
     assert_demo_tree_structure(out, k=4, expect_melody=False)
+
+
+@pytest.mark.slow
+def test_serve_daemon_end_to_end(tmp_path):
+    """scripts/serve.py: long-running JSON-lines service — ping, two
+    workflow requests against real demo MIDIs, error survival, quit."""
+    import json
+
+    a = ("/root/reference/demo/2_texture_variation/prior_sampling/"
+         "more_examples/Am-D7-G.mid")
+    b = ("/root/reference/demo/2_texture_variation/prior_sampling/"
+         "more_examples/G-F-Eb.mid")
+    out1 = str(tmp_path / "st.mid")
+    out2 = str(tmp_path / "var.mid")
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"op": "ping"},
+        {"op": "style_transfer", "content": a, "style": b, "out": out1,
+         "fix": "chord"},
+        {"op": "variation", "input": a, "out": out2, "scale": 0.5,
+         "seed": 1},
+        {"op": "nonsense"},                      # must not kill the loop
+        {"op": "quit"},
+    ]) + "\n"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PCTD_JAX_CACHE=str(tmp_path / "cache"))
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--tiny", "--fixed-batch", "4", "--max-windows", "4"],
+        input=reqs, env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
+    assert {"ready": True}.items() <= lines[1].items() or \
+        any("ready" in ln for ln in lines[:3])
+    replies = [ln for ln in lines if "ok" in ln]
+    assert replies[0]["ok"] is True                       # ping
+    assert replies[1]["ok"] and replies[1]["windows"] >= 1  # style transfer
+    assert replies[2]["ok"]                               # variation
+    assert replies[3]["ok"] is False and "unknown op" in replies[3]["error"]
+    assert replies[4]["ok"] and replies[4].get("bye")     # quit
+    from pctd_tpu.data.midi_io import MidiFile
+    for out in (out1, out2):
+        assert os.path.exists(out)
+        mf = MidiFile.read(out)
+        assert len(mf.tracks) >= 1
