@@ -71,3 +71,25 @@ class SongDatasets:
         if length is None:
             length = self._pick(dataset_id).song_len[song_id]
         return "_".join(map(str, [dataset_id, song_id, length, shift]))
+
+
+def midi_to_windows(path: str, max_windows: Optional[int] = None):
+    """Raw MIDI file -> consecutive non-overlapping 2-bar windows:
+    (pr (N,32,128), mel (N,32,130), chord (N,8,14), bpm).
+
+    The whole-song batching of reference collect_song.py:34-57 (stride-2
+    walk over valid segments) applied directly to a MIDI file through the
+    ingestion front-end — shared by scripts/arrange.py and scripts/serve.py.
+    """
+    from pctd_tpu.data.corpus import song_to_segments
+    from pctd_tpu.data.ingest import midi_to_musics
+
+    music = midi_to_musics(path, split_tracks=False)[0]
+    seg = song_to_segments(music, 0)
+    keep = [] if seg is None else [
+        i for i in range(len(seg)) if seg.bar_pos[i] % 2 == 0]
+    if not keep:
+        raise ValueError(f"{path}: no valid aligned 2-bar windows")
+    if max_windows is not None:
+        keep = keep[:max_windows]
+    return seg.pr[keep], seg.mel[keep], seg.chord[keep], music.bpm

@@ -63,23 +63,32 @@ class Sampler:
             self._decode = jax.jit(dec_fn)
             self._encode = jax.jit(partial(dv.encode, cfg=cfg))
         else:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
+
+            from pctd_tpu.parallel.mesh import shard_map
 
             data = P(tuple(mesh.axis_names))
             self._decode = jax.jit(shard_map(
                 dec_fn, mesh=mesh, in_specs=(P(), data, data),
-                out_specs=data, check_rep=False))
+                out_specs=data, check_vma=False))
             self._encode_sharded = jax.jit(shard_map(
                 enc_fn, mesh=mesh, in_specs=(P(), data, data, data),
-                out_specs=data, check_rep=False))
+                out_specs=data, check_vma=False))
             # dt_x=None changes the pytree; plain variant for the common path
             self._encode = jax.jit(shard_map(
                 lambda params, pr_mat, c: enc_fn(params, pr_mat, c, None),
                 mesh=mesh, in_specs=(P(), data, data), out_specs=data,
-                check_rep=False))
+                check_vma=False))
 
     # -- core ------------------------------------------------------------------
+
+    def _check_batch(self, n: int):
+        if n == 0:
+            raise ValueError("empty batch")
+        if (self.mesh is not None and self.fixed_batch is None
+                and n % self.mesh.size):
+            raise ValueError(
+                f"batch {n} not divisible by mesh size {self.mesh.size}")
 
     def _chunked(self, fn, *arrays):
         """Run ``fn`` over fixed_batch-sized zero-padded chunks of the
@@ -104,6 +113,7 @@ class Sampler:
 
     def encode(self, pr_mat, c, dt_x=None):
         pr_mat, c = jnp.asarray(pr_mat), jnp.asarray(c)
+        self._check_batch(pr_mat.shape[0])
         if self.mesh is None and self.fixed_batch is None:
             return self._encode(self.params, pr_mat=pr_mat, c=c,
                                 dt_x=None if dt_x is None
@@ -122,11 +132,7 @@ class Sampler:
 
     def decode(self, z_chd, z_rhy) -> np.ndarray:
         z_chd, z_rhy = jnp.asarray(z_chd), jnp.asarray(z_rhy)
-        if self.mesh is not None and self.fixed_batch is None \
-                and z_chd.shape[0] % self.mesh.size:
-            raise ValueError(
-                f"batch {z_chd.shape[0]} not divisible by mesh size "
-                f"{self.mesh.size}")
+        self._check_batch(z_chd.shape[0])
         return np.asarray(self._chunked(
             lambda zc, zr: self._decode(self.params, zc, zr), z_chd, z_rhy))
 

@@ -30,9 +30,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.8 exposes shard_map at top level
-    from jax import shard_map as _shard_map
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map
+
+_shard_map = shard_map  # internal alias; ``shard_map`` is the public shim
 
 from pctd_tpu.config import ModelConfig, TrainConfig
 from pctd_tpu.models import disentangle_vae as dv

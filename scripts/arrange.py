@@ -52,8 +52,7 @@ def main():
     from pctd_tpu.config import ModelConfig
     from pctd_tpu.data import demo as dm
     from pctd_tpu.data.converter import batch_expand_chord
-    from pctd_tpu.data.corpus import song_to_segments
-    from pctd_tpu.data.ingest import midi_to_musics
+    from pctd_tpu.data.songs import midi_to_windows
     from pctd_tpu.data.tensorize import tensorize_batch
     from pctd_tpu.models import disentangle_vae as dv
     from pctd_tpu.models.disentangle_vae import DisentangleVAE
@@ -67,19 +66,12 @@ def main():
         model = DisentangleVAE.init_model(jax.random.PRNGKey(args.seed), cfg)
         print("WARNING: no checkpoint — untrained model")
 
-    musics = midi_to_musics(args.input, split_tracks=False)
-    music = musics[0]
-    bpm = args.bpm or music.bpm
-    seg = song_to_segments(music, 0)
-    if seg is None or len(seg) < 1:
-        raise SystemExit(f"{args.input}: no valid 2-bar windows")
-    # consecutive non-overlapping windows: bar_pos 0, 2, 4, ...
-    keep = [i for i in range(len(seg))
-            if seg.bar_pos[i] % 2 == 0]
-    n_win = len(keep)
-    pr = seg.pr[keep]
-    mel = seg.mel[keep]
-    chord = seg.chord[keep]
+    try:
+        pr, mel, chord, file_bpm = midi_to_windows(args.input)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    bpm = args.bpm or file_bpm
+    n_win = len(pr)
 
     if args.chords:
         from pctd_tpu.data.chords import (progression_to_chord_table,

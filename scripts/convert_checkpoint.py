@@ -69,16 +69,29 @@ def main():
     elif args.to_torch:
         if not args.checkpoint:
             ap.error("--to-torch needs --checkpoint")
-        cfg = ModelConfig() if args.variant in (None, "conv") else \
-            dataclasses.replace(ModelConfig(), txt_encoder=args.variant)
-        if args.train_state:
-            model = DisentangleVAE.from_train_checkpoint(args.checkpoint, cfg)
-        else:
-            model = DisentangleVAE.init_model(jax.random.PRNGKey(0), cfg)
-            model.load(args.checkpoint)
+        # the variant is load-bearing here (it shapes the restore template);
+        # without --variant, try conv first, then pianotree
+        variants = [args.variant] if args.variant else ["conv", "pianotree"]
+        model, last_err = None, None
+        for v in variants:
+            cfg = dataclasses.replace(ModelConfig(), txt_encoder=v)
+            try:
+                if args.train_state:
+                    model = DisentangleVAE.from_train_checkpoint(
+                        args.checkpoint, cfg)
+                else:
+                    model = DisentangleVAE.init_model(
+                        jax.random.PRNGKey(0), cfg).load(args.checkpoint)
+                break
+            except Exception as e:          # structure mismatch -> next
+                model, last_err = None, e
+        if model is None:
+            raise SystemExit(
+                f"could not load {args.checkpoint} as "
+                f"{' or '.join(variants)} texture variant: {last_err}")
         ti.save_reference_checkpoint(args.to_torch, model.params)
         print(f"exported {args.checkpoint} -> {args.to_torch} "
-              f"(reference state_dict format)")
+              f"({v} texture variant, reference state_dict format)")
     else:
         ap.error("pass --from-torch or --to-torch")
 

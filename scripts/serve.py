@@ -37,36 +37,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_windows(path: str, spec, max_windows: int = 64):
-    """MIDI file -> (pr (N,32,128), mel, chord (N,8,14), bpm): consecutive
-    non-overlapping 2-bar windows (the whole-song batching of
-    collect_song.py, SURVEY §3.4)."""
-    import numpy as np
-
-    from pctd_tpu.data.corpus import song_to_segments
-    from pctd_tpu.data.ingest import midi_to_musics
-
-    music = midi_to_musics(path, split_tracks=False)[0]
-    seg = song_to_segments(music, 0)
-    if seg is None or len(seg) == 0:
-        raise ValueError(f"{path}: no valid 2-bar windows")
-    keep = [i for i in range(len(seg)) if seg.bar_pos[i] % 2 == 0]
-    keep = keep[:max_windows]
-    return (seg.pr[keep], seg.mel[keep], seg.chord[keep], music.bpm)
-
-
 def features(pr, chord, spec):
     import jax.numpy as jnp
-    import numpy as np
 
-    from pctd_tpu.data.converter import batch_expand_chord
     from pctd_tpu.data.tensorize import tensorize_batch
 
     feats = tensorize_batch(jnp.asarray(pr), jnp.asarray(chord),
                             jnp.zeros(len(pr), jnp.int32), spec=spec,
                             with_detrend=False)
-    return feats["pr_mat"], jnp.asarray(
-        batch_expand_chord(chord, np.zeros(len(chord))))
+    return feats["pr_mat"], feats["c"]
 
 
 def write_grids(path: str, grids, bpm: float, spec):
@@ -87,7 +66,9 @@ class Server:
         self.max_windows = max_windows
 
     def _load(self, path):
-        pr, _, chord, bpm = load_windows(path, self.spec, self.max_windows)
+        from pctd_tpu.data.songs import midi_to_windows
+
+        pr, _, chord, bpm = midi_to_windows(path, self.max_windows)
         pr_mat, c = features(pr, chord, self.spec)
         return pr_mat, c, bpm
 

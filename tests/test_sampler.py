@@ -42,6 +42,7 @@ def test_sampler_workflows():
     np.testing.assert_array_equal(est, want)
 
 
+@pytest.mark.slow  # compiles several programs on the 8-device CPU mesh
 def test_sampler_mesh_sharded_parity():
     """A ('data',)-mesh Sampler must produce the same outputs as the
     single-program Sampler (batch sharding is semantics-free; the workflows
@@ -105,3 +106,22 @@ def test_sampler_fixed_batch_parity():
     d_chd, d_rhy = plain.encode(pr_mat, c)
     np.testing.assert_array_equal(plain.decode(d_chd.mean, d_rhy.mean),
                                   both.decode(d_chd.mean, d_rhy.mean))
+
+
+def test_sampler_batch_guards():
+    """Clear ValueErrors (not deep jit/shard_map traces) for empty batches
+    and mesh-indivisible batches, on BOTH encode and decode."""
+    from pctd_tpu.parallel import make_mesh
+
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    s = Sampler(params, SMALL, frame_decoder="xla", mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="not divisible"):
+        s.decode(np.zeros((6, SMALL.chd_z_dim)),
+                 np.zeros((6, SMALL.txt_z_dim)))
+    with pytest.raises(ValueError, match="not divisible"):
+        s.encode(np.zeros((6, 32, 128), np.float32),
+                 np.zeros((6, 8, 36), np.float32))
+    f = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4)
+    with pytest.raises(ValueError, match="empty batch"):
+        f.decode(np.zeros((0, SMALL.chd_z_dim)),
+                 np.zeros((0, SMALL.txt_z_dim)))
