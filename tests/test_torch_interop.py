@@ -75,3 +75,35 @@ def test_pianotree_variant_detection():
     assert ti.detect_texture_variant(sd) == "pianotree"
     with pytest.raises(ValueError):
         ti.params_from_state_dict(dict(sd), ModelConfig())  # cfg says conv
+
+
+def test_convert_cli_variant_fallback(tmp_path):
+    """convert_checkpoint --to-torch without --variant must auto-detect a
+    pianotree-variant checkpoint (the restore template is variant-shaped)."""
+    import dataclasses
+    import os
+    import subprocess
+    import sys
+
+    cfg = dataclasses.replace(ModelConfig(), txt_encoder="pianotree")
+    model = dv.DisentangleVAE.init_model(jax.random.PRNGKey(1), cfg)
+    ck = str(tmp_path / "ck_pt")
+    model.save(ck)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "out.pt")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "convert_checkpoint.py"),
+         "--to-torch", out, "--checkpoint", ck],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "pianotree texture variant" in res.stdout
+
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert ti.detect_texture_variant(sd) == "pianotree"
+    back = ti.params_from_state_dict(sd, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
