@@ -111,6 +111,12 @@ class ModelConfig:
     unroll_dur: int = 1
     unroll_notes: int = 1
 
+    # Teacher-forced decode via the fused Pallas frame kernel with a
+    # hand-written VJP (ops/pallas/train_frame): the whole note+dur frame
+    # runs in VMEM forward AND backward (the backward recomputes in VMEM —
+    # checkpoint semantics — so remat_frames is moot on this path).
+    train_frame_kernel: bool = False
+
     @property
     def z_dim(self) -> int:
         return self.chd_z_dim + self.txt_z_dim

@@ -275,20 +275,40 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     w_tok = p["time_gru"].w_ih[:tok_dim]
     gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
 
-    def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
-        """One frame's note+dur decode + predicted-frame summary. Wrapped in
-        jax.checkpoint when cfg.remat_frames: the backward then recomputes
-        the 15x(1+5) inner chain per frame instead of saving every inner
-        activation — the saved (32, 15, B, hidden) temps are what OOM HBM at
-        B >= 1024 (measured: 15.97G at B=1024 bf16 without remat)."""
-        pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
-            pp, spec, h, x_emb_t, c2_t, sos_e,
-            unroll=(cfg.unroll_notes, cfg.unroll_dur))
-        pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
-                                         pred_notes, pred_lens)
-        return pitch_o, dur_o, pred_summary
+    use_kernel = cfg.train_frame_kernel and not inference
+    if use_kernel:
+        from pctd_tpu.ops.pallas.train_frame import core_weights, frame_core
 
-    if cfg.remat_frames and not inference:
+        core_w = core_weights(p, cfg)
+
+        def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
+            """Fused-VMEM frame decode with hand-written VJP: the kernel's
+            backward recomputes the frame on-chip (checkpoint semantics),
+            so no jax.checkpoint is needed on this path."""
+            coins = c2_t[1:].astype(jnp.int32)[:, None]
+            interp = jax.default_backend() != "tpu"
+            pitch_o, dur_o, pred_notes, pred_lens = frame_core(
+                cfg, cfg.dec_notes_hidden, interp, core_w, h, x_emb_t,
+                coins)
+            pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
+                                             pred_notes, pred_lens)
+            return pitch_o, dur_o, pred_summary
+    else:
+        def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
+            """One frame's note+dur decode + predicted-frame summary.
+            Wrapped in jax.checkpoint when cfg.remat_frames: the backward
+            then recomputes the 15x(1+5) inner chain per frame instead of
+            saving every inner activation — the saved (32, 15, B, hidden)
+            temps are what OOM HBM at B >= 1024 (measured: 15.97G at
+            B=1024 bf16 without remat)."""
+            pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
+                pp, spec, h, x_emb_t, c2_t, sos_e,
+                unroll=(cfg.unroll_notes, cfg.unroll_dur))
+            pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
+                                             pred_notes, pred_lens)
+            return pitch_o, dur_o, pred_summary
+
+    if cfg.remat_frames and not inference and not use_kernel:
         # Full recompute beats partial saving here: policy=dots_saveable
         # (keep matmul outputs) measured 4495 seg/s vs 6224 at B=1024 and
         # OOMs at B=2048 — the saved gate tensors cost more HBM traffic

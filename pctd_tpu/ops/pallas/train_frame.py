@@ -1,0 +1,531 @@
+"""Pallas TPU kernels: teacher-forced frame decode with a hand-written VJP.
+
+Training-path counterpart of ops/pallas/ar_decoder.py (reference semantics:
+ptvae.py:370-428 teacher-forced branch). One frame = 15 sequential note
+slots x (GRU cell + pitch head + 5-step binary-duration GRU with argmax
+feedback + predicted-note embedding + teacher-coin token select). Under XLA
+this lowers to nested while loops whose backward (plus the frame-remat
+recompute) re-reads every intermediate from HBM — measured to be
+bandwidth-bound (ARCHITECTURE.md: full recompute beats every partial-save
+policy). Here:
+
+- the FORWARD kernel runs the whole frame in VMEM and emits the pitch/dur
+  logits, the predicted-note embeddings, and the eos lengths;
+- the BACKWARD kernel recomputes the forward entirely in VMEM (checkpoint
+  semantics: its residuals are just the frame inputs) and hand-differentiates
+  the chain in the same VMEM residency, accumulating weight gradients in f32
+  across batch-grid blocks.
+
+Gradient structure notes (why the hand-VJP is tractable): the argmax
+feedbacks (pitch index, duration bits) carry no gradient, so the only
+cross-slot gradient paths are the note-GRU hidden chain and the predicted
+embedding -> next-token select; the duration chain is differentiated wrt its
+hidden state only (its feedback tokens are one-hots of argmaxed bits).
+
+The teacher-coin select ``token = where(coin_k, gt_k, emb_k)`` follows the
+reference's batch-global per-slot coins (ptvae.py:420-424).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pctd_tpu.config import ModelConfig, PianoTreeSpec
+
+
+def _gru_fwd(gi, h, w_hh, b_hh):
+    """One GRU step (torch gate convention); returns (h', (r, z, n, h_n))."""
+    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h_new = (1.0 - z) * n + z * h
+    return h_new, (r, z, n, h_n)
+
+
+def _gru_bwd(dh_new, h_prev, r, z, n, h_n, w_hh):
+    """Backward of one GRU step given the saved gate values.
+
+    Returns (d_gi (B, 3H), d_h_prev (B, H), d_gh (B, 3H)) where d_gh is the
+    cotangent of ``h_prev @ w_hh + b_hh`` (for the w_hh/b_hh grads).
+    """
+    dz = dh_new * (h_prev - n)
+    dn = dh_new * (1.0 - z)
+    dh_prev = dh_new * z
+    dn_pre = dn * (1.0 - n * n)
+    dz_pre = dz * z * (1.0 - z)
+    dr = dn_pre * h_n
+    dr_pre = dr * r * (1.0 - r)
+    d_gi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    d_gh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+    dh_prev = dh_prev + jnp.dot(d_gh, w_hh.T,
+                                preferred_element_type=jnp.float32)
+    return d_gi, dh_prev, d_gh
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(spec: PianoTreeSpec,
+                coins_ref,
+                frame_h_ref, x_emb_ref,
+                w_t2n_ref, b_t2n_ref,
+                w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+                w_hh_ref, b_hh_ref,
+                w_pitch_ref, b_pitch_ref,
+                w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
+                w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+                w_dout_ref, b_dout_ref,
+                w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
+                pitch_ref, dur_ref, pred_ref, len_ref):
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    B = frame_h_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    dtype = frame_h_ref.dtype
+
+    frame_h = frame_h_ref[:]
+    h = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
+    gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
+    token = x_emb_ref[0]
+    pred_ref[0] = token
+    lengths = jnp.zeros((B, 1), jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    for k in range(1, K):
+        gi = gi_frame + dot(token, w_ih_tok_ref[:])
+        h, _ = _gru_fwd(gi, h, w_hh_ref[:], b_hh_ref[:])
+        h = h.astype(dtype)
+        est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+        pitch_ref[k - 1] = est_pitch
+        pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)
+
+        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
+               + b_dhid_ref[:]).astype(dtype)
+        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
+        bits = []
+        for w in range(W):
+            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
+            h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            h_d = h_d.astype(dtype)
+            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
+            dur_ref[k - 1, w] = logit
+            bit = jnp.argmax(logit.astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            bits.append(bit)
+            token_d = (col_w == bit[:, None]).astype(dtype)
+        dur_bits = jnp.stack(bits, axis=-1)
+
+        pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
+        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
+               dot(dur_bits.astype(dtype), w_emb_d_ref[:])
+               + b_emb_ref[:]).astype(dtype)
+        pred_ref[k] = emb
+
+        is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
+        lengths = jnp.where(is_eos, k, lengths)
+
+        coin = coins_ref[k - 1, 0] != 0
+        token = jnp.where(coin, x_emb_ref[k], emb)
+
+    lengths = jnp.where(lengths == 0, K - 1, lengths)
+    len_ref[:] = lengths
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: recompute fwd in VMEM, then reverse
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(spec: PianoTreeSpec, nh: int,
+                coins_ref,
+                frame_h_ref, x_emb_ref,
+                w_t2n_ref, b_t2n_ref,
+                w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+                w_hh_ref, b_hh_ref,
+                w_pitch_ref, b_pitch_ref,
+                w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
+                w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+                w_dout_ref, b_dout_ref,
+                w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
+                d_pitch_ref, d_dur_ref, d_pred_ref,
+                # outputs
+                d_frame_h_ref, d_x_emb_ref,
+                d_w_t2n_ref, d_b_t2n_ref,
+                d_w_ih_frame_ref, d_w_ih_tok_ref, d_b_ih_ref,
+                d_w_hh_ref, d_b_hh_ref,
+                d_w_pitch_ref, d_b_pitch_ref,
+                d_w_dhid_h_ref, d_w_dhid_p_ref, d_b_dhid_ref,
+                d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref, d_b_dhh_ref,
+                d_w_dout_ref, d_b_dout_ref,
+                d_w_emb_p_ref, d_w_emb_d_ref, d_b_emb_ref, d_dur_sos_ref):
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    B = frame_h_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    def wgrad(x, dy):
+        # (B, X)^T @ (B, Y) -> (X, Y), contracting the batch dim
+        return jax.lax.dot_general(
+            x, dy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dtype = frame_h_ref.dtype
+    f32 = jnp.float32
+
+    # zero the accumulated outputs on the first grid block
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref,
+                    d_w_ih_tok_ref, d_b_ih_ref, d_w_hh_ref, d_b_hh_ref,
+                    d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_h_ref,
+                    d_w_dhid_p_ref, d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref,
+                    d_w_dhh_ref, d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref,
+                    d_w_emb_p_ref, d_w_emb_d_ref, d_b_emb_ref,
+                    d_dur_sos_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    frame_h = frame_h_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    # per-block output accumulated with += below — zero it first
+    d_x_emb_ref[...] = jnp.zeros(d_x_emb_ref.shape, d_x_emb_ref.dtype)
+
+    # ---- phase 1: recompute the forward, stashing per-slot h and tokens
+    h0 = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
+    gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
+    hs = [h0]                       # h after slot k (k=0 -> initial hidden)
+    tokens = [x_emb_ref[0]]         # token consumed by slot k+1
+    h = h0
+    token = tokens[0]
+    for k in range(1, K):
+        gi = gi_frame + dot(token, w_ih_tok_ref[:])
+        h, _ = _gru_fwd(gi, h, w_hh_ref[:], b_hh_ref[:])
+        h = h.astype(dtype)
+        hs.append(h)
+        est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+        pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)
+        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
+               + b_dhid_ref[:]).astype(dtype)
+        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
+        bits = []
+        for w in range(W):
+            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
+            h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            h_d = h_d.astype(dtype)
+            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
+            bit = jnp.argmax(logit.astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            bits.append(bit)
+            token_d = (col_w == bit[:, None]).astype(dtype)
+        dur_bits = jnp.stack(bits, axis=-1)
+        pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
+        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
+               dot(dur_bits.astype(dtype), w_emb_d_ref[:])
+               + b_emb_ref[:]).astype(dtype)
+        coin = coins_ref[k - 1, 0] != 0
+        token = jnp.where(coin, x_emb_ref[k], emb)
+        tokens.append(token)
+
+    # ---- phase 2: reverse sweep
+    acc = {}
+
+    def add(ref, val):
+        key = id(ref)
+        acc[key] = (ref, val if key not in acc else acc[key][1] + val)
+
+    d_gi_frame = jnp.zeros((B, 3 * nh), f32)
+    dh_next = jnp.zeros((B, nh), f32)       # d wrt h_k flowing down the chain
+    d_token = [jnp.zeros((B, tokens[0].shape[-1]), f32)
+               for _ in range(K)]           # d wrt tokens[k]
+
+    for k in range(K - 1, 0, -1):
+        h_k = hs[k]
+        h_prev = hs[k - 1]
+        token_in = tokens[k - 1]
+
+        # -- recompute slot-k head values (cheap; needed for gate bwds)
+        est_pitch = (dot(h_k, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+        pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)
+        h_d0 = (dot(h_k, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
+                + b_dhid_ref[:]).astype(dtype)
+        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
+        hds = [h_d0]
+        dur_gates = []
+        dur_tokens = [token_d]
+        bits = []
+        h_d = h_d0
+        for w in range(W):
+            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
+            h_d, g = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            h_d = h_d.astype(dtype)
+            hds.append(h_d)
+            dur_gates.append(g)
+            bit = jnp.argmax((dot(h_d, w_dout_ref[:])
+                              + b_dout_ref[:]).astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            bits.append(bit)
+            token_d = (col_w == bit[:, None]).astype(dtype)
+            dur_tokens.append(token_d)
+        dur_bits = jnp.stack(bits, axis=-1)
+        pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
+
+        # -- gradient wrt emb_k: token select + pred_notes cotangent
+        coin = coins_ref[k - 1, 0] != 0
+        d_tok_k = d_token[k]
+        d_emb = d_pred_ref[k].astype(f32) + \
+            jnp.where(coin, 0.0, d_tok_k)
+        d_x_emb_ref[k] += jnp.where(coin, d_tok_k, 0.0).astype(
+            d_x_emb_ref.dtype)
+        add(d_w_emb_p_ref, wgrad(pitch_oh, d_emb))
+        add(d_w_emb_d_ref, wgrad(dur_bits.astype(dtype), d_emb))
+        add(d_b_emb_ref, jnp.sum(d_emb, axis=0, keepdims=True))
+
+        # -- duration chain backward (feedback tokens carry no grad)
+        d_hd = jnp.zeros((B, hds[0].shape[-1]), f32)
+        for w in range(W - 1, -1, -1):
+            d_logit = d_dur_ref[k - 1, w].astype(f32)
+            add(d_w_dout_ref, wgrad(hds[w + 1], d_logit))
+            add(d_b_dout_ref, jnp.sum(d_logit, axis=0, keepdims=True))
+            d_hd = d_hd + dot(d_logit, w_dout_ref[:].T)
+            r, z, n, h_n = dur_gates[w]
+            d_gi_d, d_hd, d_gh_d = _gru_bwd(d_hd, hds[w], r, z, n, h_n,
+                                            w_dhh_ref[:])
+            add(d_w_dih_ref, wgrad(dur_tokens[w], d_gi_d))
+            add(d_b_dih_ref, jnp.sum(d_gi_d, axis=0, keepdims=True))
+            add(d_w_dhh_ref, wgrad(hds[w], d_gh_d))
+            add(d_b_dhh_ref, jnp.sum(d_gh_d, axis=0, keepdims=True))
+            if w == 0:
+                add(d_dur_sos_ref,
+                    jnp.sum(dot(d_gi_d, w_dih_ref[:].T), axis=0,
+                            keepdims=True))
+        # h_d0 inputs
+        d_est = d_pitch_ref[k - 1].astype(f32) + \
+            dot(d_hd, w_dhid_p_ref[:].T)
+        dh_k = dh_next + dot(d_hd, w_dhid_h_ref[:].T)
+        add(d_w_dhid_h_ref, wgrad(h_k, d_hd))
+        add(d_w_dhid_p_ref, wgrad(est_pitch, d_hd))
+        add(d_b_dhid_ref, jnp.sum(d_hd, axis=0, keepdims=True))
+
+        # -- pitch head backward
+        add(d_w_pitch_ref, wgrad(h_k, d_est))
+        add(d_b_pitch_ref, jnp.sum(d_est, axis=0, keepdims=True))
+        dh_k = dh_k + dot(d_est, w_pitch_ref[:].T)
+
+        # -- note-GRU cell backward (recompute gates from h_prev, token_in)
+        gi = gi_frame + dot(token_in, w_ih_tok_ref[:])
+        _, (r, z, n, h_n) = _gru_fwd(gi, h_prev, w_hh_ref[:], b_hh_ref[:])
+        d_gi, dh_prev, d_gh = _gru_bwd(dh_k, h_prev, r, z, n, h_n,
+                                       w_hh_ref[:])
+        add(d_w_hh_ref, wgrad(h_prev, d_gh))
+        add(d_b_hh_ref, jnp.sum(d_gh, axis=0, keepdims=True))
+        add(d_w_ih_tok_ref, wgrad(token_in, d_gi))
+        d_gi_frame = d_gi_frame + d_gi
+        d_token[k - 1] = d_token[k - 1] + dot(d_gi, w_ih_tok_ref[:].T)
+        dh_next = dh_prev
+
+    # token0 == x_emb[:, 0]; its cotangent also carries d_pred[:, 0]
+    d_x_emb_ref[0] += (d_token[0]
+                       + d_pred_ref[0].astype(f32)).astype(
+        d_x_emb_ref.dtype)
+
+    # h0 and gi_frame inputs
+    add(d_w_t2n_ref, wgrad(frame_h, dh_next))
+    add(d_b_t2n_ref, jnp.sum(dh_next, axis=0, keepdims=True))
+    add(d_w_ih_frame_ref, wgrad(frame_h, d_gi_frame))
+    add(d_b_ih_ref, jnp.sum(d_gi_frame, axis=0, keepdims=True))
+    d_frame_h = dot(dh_next, w_t2n_ref[:].T) + \
+        dot(d_gi_frame, w_ih_frame_ref[:].T)
+    d_frame_h_ref[:] = d_frame_h.astype(d_frame_h_ref.dtype)
+
+    # flush weight-grad accumulators (+= across grid blocks)
+    for ref, val in acc.values():
+        ref[...] += val.astype(ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# wrapper with custom VJP
+# ---------------------------------------------------------------------------
+
+_CORE_KEYS = ("w_t2n", "b_t2n", "w_ih_frame", "w_ih_tok", "b_ih", "w_hh",
+              "b_hh", "w_pitch", "b_pitch", "w_dhid_h", "w_dhid_p", "b_dhid",
+              "w_dih", "b_dih", "w_dhh", "b_dhh", "w_dout", "b_dout",
+              "w_emb_p", "w_emb_d", "b_emb", "dur_sos")
+
+
+def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
+    """Flatten/split the pianotree-decoder params into the kernel layout
+    (same preparation as ar_decoder.frame_decode_pallas)."""
+    spec = cfg.pianotree
+    th = cfg.dec_time_hidden
+    ng, dg = p["notes_gru"], p["dur_gru"]
+    w_dhid = p["dur_hid"]["w"]
+    w_emb = p["note_emb"]["w"]
+    P = spec.pitch_range
+    row = lambda b: b.reshape(1, -1)
+    return (
+        p["time2notes"]["w"], row(p["time2notes"]["b"]),
+        ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
+        ng.w_hh, row(ng.b_hh),
+        p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
+        w_dhid[:cfg.dec_notes_hidden], w_dhid[cfg.dec_notes_hidden:],
+        row(p["dur_hid"]["b"]),
+        dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
+        p["dur_out"]["w"], row(p["dur_out"]["b"]),
+        w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
+        row(p["dur_sos"]),
+    )
+
+
+def _pick_block(B: int) -> int:
+    for bt in (512, 256, 128):
+        if B % bt == 0:
+            return bt
+    return B
+
+
+def _specs(B, bt, frame_h_dim, K, E, coins_shape, weights):
+    """Common block-spec builders. Slot-indexed tensors use SLOT-LEADING
+    layout ((K, B, ...) etc.) — Mosaic cannot lower the (B, 1, X) unit-dim
+    reshapes that batch-leading per-slot writes would need."""
+
+    def batch_spec(*shape, pos=0):
+        # batch dim (blocked) at position ``pos`` of the block shape
+        full = shape[:pos] + (bt,) + shape[pos:]
+        n = len(full)
+
+        def imap(i, _pos=pos, _n=n):
+            idx = [0] * _n
+            idx[_pos] = i
+            return tuple(idx)
+
+        return pl.BlockSpec(full, imap, memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    coin_spec = pl.BlockSpec(coins_shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    return batch_spec, wspec, coin_spec
+
+
+def _fwd_call(spec, weights, frame_h, x_emb_t, coins, interpret):
+    B = frame_h.shape[0]
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    E = x_emb_t.shape[-1]
+    bt = _pick_block(B)
+    grid = (B // bt,)
+    dtype = frame_h.dtype
+    batch_spec, wspec, coin_spec = _specs(B, bt, frame_h.shape[1], K, E,
+                                          coins.shape, weights)
+
+    x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
+    in_specs = [coin_spec, batch_spec(frame_h.shape[1]),
+                batch_spec(K, E, pos=1)] + [wspec(w) for w in weights]
+    out_shape = (
+        jax.ShapeDtypeStruct((K - 1, B, P), dtype),
+        jax.ShapeDtypeStruct((K - 1, W, B, 2), dtype),
+        jax.ShapeDtypeStruct((K, B, E), dtype),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    )
+    out_specs = (batch_spec(K - 1, P, pos=1),
+                 batch_spec(K - 1, W, 2, pos=2),
+                 batch_spec(K, E, pos=1), batch_spec(1))
+    kernel = functools.partial(_fwd_kernel, spec)
+    pitch, dur, pred, lengths = pl.pallas_call(
+        kernel, grid=grid, out_shape=out_shape, in_specs=in_specs,
+        out_specs=out_specs, interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(coins, frame_h, x_emb_kbe, *weights)
+    return (jnp.swapaxes(pitch, 0, 1), jnp.transpose(dur, (2, 0, 1, 3)),
+            jnp.swapaxes(pred, 0, 1), lengths[:, 0])
+
+
+def _bwd_call(spec, nh, weights, frame_h, x_emb_t, coins,
+              d_pitch, d_dur, d_pred, interpret):
+    B = frame_h.shape[0]
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    bt = _pick_block(B)
+    grid = (B // bt,)
+    E = x_emb_t.shape[-1]
+    batch_spec, wspec, coin_spec = _specs(B, bt, frame_h.shape[1], K, E,
+                                          coins.shape, weights)
+
+    x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
+    d_pitch_k = jnp.swapaxes(d_pitch, 0, 1)              # (K-1, B, P)
+    d_dur_k = jnp.transpose(d_dur, (1, 2, 0, 3))         # (K-1, W, B, 2)
+    d_pred_k = jnp.swapaxes(d_pred, 0, 1)                # (K, B, E)
+
+    in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
+                 batch_spec(K, E, pos=1)]
+                + [wspec(w) for w in weights]
+                + [batch_spec(K - 1, P, pos=1),
+                   batch_spec(K - 1, W, 2, pos=2),
+                   batch_spec(K, E, pos=1)])
+    # outputs: per-block d_frame_h, d_x_emb + accumulated f32 weight grads
+    out_shape = [jax.ShapeDtypeStruct((B, frame_h.shape[1]), frame_h.dtype),
+                 jax.ShapeDtypeStruct((K, B, E), frame_h.dtype)]
+    out_specs = [batch_spec(frame_h.shape[1]), batch_spec(K, E, pos=1)]
+    for w in weights:
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(wspec(w))
+    kernel = functools.partial(_bwd_kernel, spec, nh)
+    outs = pl.pallas_call(
+        kernel, grid=grid, out_shape=tuple(out_shape),
+        in_specs=in_specs, out_specs=tuple(out_specs), interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_pred_k)
+    d_frame_h, d_x_emb = outs[0], jnp.swapaxes(outs[1], 0, 1)
+    d_weights = tuple(g.astype(w.dtype)
+                      for g, w in zip(outs[2:], weights))
+    return d_frame_h, d_x_emb, d_weights
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def frame_core(cfg: ModelConfig, nh: int, interpret: bool,
+               weights, frame_h, x_emb_t, coins):
+    """Teacher-forced frame decode (note + duration levels) as one kernel.
+
+    weights: tuple from :func:`core_weights`; frame_h (B, TH);
+    x_emb_t (B, K, E) ground-truth note embeddings; coins (K-1, 1) int32
+    teacher flags for slots 1..K-1.
+    Returns (pitch_logits (B, K-1, P), dur_logits (B, K-1, W, 2),
+             pred_notes (B, K, E), lengths (B,) i32).
+    """
+    return _fwd_call(cfg.pianotree, weights, frame_h, x_emb_t, coins,
+                     interpret)
+
+
+def _frame_core_fwd(cfg, nh, interpret, weights, frame_h, x_emb_t, coins):
+    out = _fwd_call(cfg.pianotree, weights, frame_h, x_emb_t, coins,
+                    interpret)
+    return out, (weights, frame_h, x_emb_t, coins)
+
+
+def _frame_core_bwd(cfg, nh, interpret, res, cts):
+    weights, frame_h, x_emb_t, coins = res
+    d_pitch, d_dur, d_pred, _ = cts
+    d_frame_h, d_x_emb, d_weights = _bwd_call(
+        cfg.pianotree, nh, weights, frame_h, x_emb_t, coins,
+        d_pitch, d_dur, d_pred, interpret)
+    d_coins = np.zeros(coins.shape, jax.dtypes.float0)
+    return d_weights, d_frame_h, d_x_emb, d_coins
+
+
+frame_core.defvjp(_frame_core_fwd, _frame_core_bwd)

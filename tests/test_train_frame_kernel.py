@@ -1,0 +1,137 @@
+"""Training-path fused frame kernel (ops/pallas/train_frame): forward AND
+hand-written-VJP gradient parity vs the XLA nested-scan path, in interpret
+mode on the CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pctd_tpu.models import pianotree_decoder as ptd
+from pctd_tpu.ops import GRUParams
+from pctd_tpu.ops.pallas.train_frame import core_weights, frame_core
+
+from tests.test_training import SMALL
+
+
+def rebuild_params(weights, cfg):
+    """Inverse of core_weights: kernel weight tuple -> decoder params subset
+    (so one function of the tuple can run either path)."""
+    (w_t2n, b_t2n, w_ihf, w_iht, b_ih, w_hh, b_hh, w_p, b_p,
+     w_dh, w_dp, b_dhid, w_dih, b_dih, w_dhh, b_dhh, w_dout, b_dout,
+     w_ep, w_ed, b_e, dur_sos) = weights
+    return {
+        "time2notes": {"w": w_t2n, "b": b_t2n[0]},
+        "notes_gru": GRUParams(w_ih=jnp.concatenate([w_ihf, w_iht]),
+                               w_hh=w_hh, b_ih=b_ih[0], b_hh=b_hh[0]),
+        "pitch_out": {"w": w_p, "b": b_p[0]},
+        "dur_hid": {"w": jnp.concatenate([w_dh, w_dp]), "b": b_dhid[0]},
+        "dur_gru": GRUParams(w_ih=w_dih, w_hh=w_dhh, b_ih=b_dih[0],
+                             b_hh=b_dhh[0]),
+        "dur_out": {"w": w_dout, "b": b_dout[0]},
+        "note_emb": {"w": jnp.concatenate([w_ep, w_ed]), "b": b_e[0]},
+        "dur_sos": dur_sos[0],
+    }
+
+
+def setup(B=4, seed=0):
+    cfg = SMALL
+    spec = cfg.pianotree
+    p = ptd.init(jax.random.PRNGKey(seed), cfg)
+    weights = core_weights(p, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), 4)
+    frame_h = jax.random.normal(ks[0], (B, cfg.dec_time_hidden))
+    x_emb = jax.random.normal(ks[1], (B, spec.max_simu_note,
+                                      cfg.note_emb_size))
+    coins_b = jax.random.uniform(ks[2], (spec.max_simu_note,)) < 0.5
+    sos_emb = jax.random.normal(ks[3], (B, cfg.note_emb_size))
+    return cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb
+
+
+def xla_frame(weights, frame_h, x_emb, coins_b, sos_emb, cfg, spec):
+    p = rebuild_params(weights, cfg)
+    return ptd._decode_notes(p, spec, frame_h, x_emb, coins_b, sos_emb)
+
+
+def kernel_frame(weights, frame_h, x_emb, coins_b, cfg):
+    coins = coins_b[1:].astype(jnp.int32)[:, None]
+    return frame_core(cfg, cfg.dec_notes_hidden, True, weights, frame_h,
+                      x_emb, coins)
+
+
+def test_fwd_parity():
+    cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb = setup()
+    pitch_x, dur_x, pred_x, len_x = xla_frame(weights, frame_h, x_emb,
+                                              coins_b, sos_emb, cfg, spec)
+    pitch_k, dur_k, pred_k, len_k = kernel_frame(weights, frame_h, x_emb,
+                                                 coins_b, cfg)
+    np.testing.assert_allclose(np.asarray(pitch_k), np.asarray(pitch_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dur_k), np.asarray(dur_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_x),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(len_k), np.asarray(len_x))
+
+
+@pytest.mark.slow  # interpret-mode VJP, ~90s
+def test_grad_parity():
+    cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb = setup(seed=7)
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    B = frame_h.shape[0]
+    ks = jax.random.split(jax.random.PRNGKey(99), 3)
+    # random cotangent projections so every output position matters
+    gp = jax.random.normal(ks[0], (B, K - 1, P))
+    gd = jax.random.normal(ks[1], (B, K - 1, W, 2))
+    ge = jax.random.normal(ks[2], (B, K, cfg.note_emb_size))
+
+    def loss_xla(weights, frame_h, x_emb):
+        pitch, dur, pred, _ = xla_frame(weights, frame_h, x_emb, coins_b,
+                                        sos_emb, cfg, spec)
+        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+
+    def loss_ker(weights, frame_h, x_emb):
+        pitch, dur, pred, _ = kernel_frame(weights, frame_h, x_emb,
+                                           coins_b, cfg)
+        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+
+    lx = loss_xla(weights, frame_h, x_emb)
+    lk = loss_ker(weights, frame_h, x_emb)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gx),
+                                   jax.tree_util.tree_leaves(gk))):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"grad leaf {i} mismatch")
+
+
+@pytest.mark.slow  # whole-VAE interpret-mode grads, ~2min
+def test_full_decode_loss_and_grad_parity():
+    """decode() with train_frame_kernel=True must match the XLA path at the
+    whole-VAE loss level, gradients included (interpret mode on CPU)."""
+    import dataclasses
+
+    from pctd_tpu.models import disentangle_vae as dv
+    from tests.test_models_parity import random_batch
+    from pctd_tpu.train.trainer import batch_features
+
+    base = SMALL
+    fused = dataclasses.replace(SMALL, train_frame_kernel=True)
+    params = dv.init_params(jax.random.PRNGKey(0), base)
+    x, c, pr_mat = random_batch(4, seed=11)
+    key = jax.random.PRNGKey(5)
+
+    def loss(cfg, p):
+        total, _ = dv.loss(p, cfg, key, jnp.asarray(x), jnp.asarray(c),
+                           jnp.asarray(pr_mat), None,
+                           tfr1=0.5, tfr2=0.5, tfr3=0.5)
+        return total
+
+    lx, gx = jax.value_and_grad(lambda p: loss(base, p))(params)
+    lk, gk = jax.value_and_grad(lambda p: loss(fused, p))(params)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
