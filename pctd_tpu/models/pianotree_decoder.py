@@ -308,7 +308,10 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                                              pred_notes, pred_lens)
             return pitch_o, dur_o, pred_summary
 
-    if cfg.remat_frames and not inference and not use_kernel:
+    # applies on the kernel path too: the kernel recomputes ITS part on-chip
+    # either way, but the checkpoint additionally drops the XLA-side pred
+    # bi-GRU summary activations (~540 MB at B=2048)
+    if cfg.remat_frames and not inference:
         # Full recompute beats partial saving here: policy=dots_saveable
         # (keep matmul outputs) measured 4495 seg/s vs 6224 at B=1024 and
         # OOMs at B=2048 — the saved gate tensors cost more HBM traffic

@@ -389,8 +389,16 @@ def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
     )
 
 
+_BLOCK_OVERRIDE = None      # tests force a small block to exercise the grid
+
+
 def _pick_block(B: int) -> int:
-    for bt in (512, 256, 128):
+    # 512 rows exceeds VMEM in the backward (measured 190M of 128M: the
+    # stashed per-slot hiddens/tokens + f32 weight-grad accumulators +
+    # double-buffered input windows); 256 fits.
+    if _BLOCK_OVERRIDE is not None and B % _BLOCK_OVERRIDE == 0:
+        return _BLOCK_OVERRIDE
+    for bt in (256, 128):
         if B % bt == 0:
             return bt
     return B
@@ -450,7 +458,7 @@ def _fwd_call(spec, weights, frame_h, x_emb_t, coins, interpret):
         kernel, grid=grid, out_shape=out_shape, in_specs=in_specs,
         out_specs=out_specs, interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(coins, frame_h, x_emb_kbe, *weights)
     return (jnp.swapaxes(pitch, 0, 1), jnp.transpose(dur, (2, 0, 1, 3)),
             jnp.swapaxes(pred, 0, 1), lengths[:, 0])
@@ -489,7 +497,7 @@ def _bwd_call(spec, nh, weights, frame_h, x_emb_t, coins,
         kernel, grid=grid, out_shape=tuple(out_shape),
         in_specs=in_specs, out_specs=tuple(out_specs), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_pred_k)
     d_frame_h, d_x_emb = outs[0], jnp.swapaxes(outs[1], 0, 1)
     d_weights = tuple(g.astype(w.dtype)

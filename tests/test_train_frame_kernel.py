@@ -135,3 +135,35 @@ def test_full_decode_loss_and_grad_parity():
     for a, b in zip(jax.tree_util.tree_leaves(gx),
                     jax.tree_util.tree_leaves(gk)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_grad_parity_multiblock():
+    """Grid accumulation: weight grads must sum correctly across several
+    batch blocks (the single-block case can't catch a broken accumulator
+    init or index map)."""
+    from pctd_tpu.ops.pallas import train_frame as tf
+
+    cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb = setup(B=8, seed=3)
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    ks = jax.random.split(jax.random.PRNGKey(42), 3)
+    gp = jax.random.normal(ks[0], (8, K - 1, P))
+    gd = jax.random.normal(ks[1], (8, K - 1, W, 2))
+    ge = jax.random.normal(ks[2], (8, K, cfg.note_emb_size))
+
+    def loss_ker(weights, frame_h, x_emb):
+        pitch, dur, pred, _ = kernel_frame(weights, frame_h, x_emb,
+                                           coins_b, cfg)
+        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+
+    g1 = jax.grad(loss_ker, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+    tf._BLOCK_OVERRIDE = 4        # -> 2 grid blocks
+    try:
+        g2 = jax.grad(loss_ker, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+    finally:
+        tf._BLOCK_OVERRIDE = None
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(g1),
+                                   jax.tree_util.tree_leaves(g2))):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4,
+            err_msg=f"multiblock grad leaf {i} mismatch")
