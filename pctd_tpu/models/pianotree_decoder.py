@@ -281,17 +281,26 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
 
         core_w = core_weights(p, cfg)
 
+        summ_fn = lambda ef, eb, notes, lens: bigru_last_masked(
+            ef, eb, notes, lens)
+        if cfg.remat_frames:
+            # only the XLA-side summary needs checkpointing on this path
+            # (~540 MB of bi-GRU activations at B=2048); wrapping the whole
+            # frame would make the backward replay the forward KERNEL too,
+            # which already self-recomputes — measured 6275 vs 6404 seg/s
+            summ_fn = jax.checkpoint(summ_fn)
+
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
             """Fused-VMEM frame decode with hand-written VJP: the kernel's
             backward recomputes the frame on-chip (checkpoint semantics),
-            so no jax.checkpoint is needed on this path."""
+            so no jax.checkpoint is needed around the kernel itself."""
             coins = c2_t[1:].astype(jnp.int32)[:, None]
             interp = jax.default_backend() != "tpu"
             pitch_o, dur_o, pred_notes, pred_lens = frame_core(
                 cfg, cfg.dec_notes_hidden, interp, core_w, h, x_emb_t,
                 coins)
-            pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
-                                             pred_notes, pred_lens)
+            pred_summary = summ_fn(pp["emb_fwd"], pp["emb_bwd"],
+                                   pred_notes, pred_lens)
             return pitch_o, dur_o, pred_summary
     else:
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
@@ -308,10 +317,7 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                                              pred_notes, pred_lens)
             return pitch_o, dur_o, pred_summary
 
-    # applies on the kernel path too: the kernel recomputes ITS part on-chip
-    # either way, but the checkpoint additionally drops the XLA-side pred
-    # bi-GRU summary activations (~540 MB at B=2048)
-    if cfg.remat_frames and not inference:
+    if cfg.remat_frames and not inference and not use_kernel:
         # Full recompute beats partial saving here: policy=dots_saveable
         # (keep matmul outputs) measured 4495 seg/s vs 6224 at B=1024 and
         # OOMs at B=2048 — the saved gate tensors cost more HBM traffic
