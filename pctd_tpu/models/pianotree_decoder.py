@@ -281,26 +281,16 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
 
         core_w = core_weights(p, cfg)
 
-        summ_fn = lambda ef, eb, notes, lens: bigru_last_masked(
-            ef, eb, notes, lens)
-        if cfg.remat_frames:
-            # only the XLA-side summary needs checkpointing on this path
-            # (~540 MB of bi-GRU activations at B=2048); wrapping the whole
-            # frame would make the backward replay the forward KERNEL too,
-            # which already self-recomputes — measured 6275 vs 6404 seg/s
-            summ_fn = jax.checkpoint(summ_fn)
-
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
-            """Fused-VMEM frame decode with hand-written VJP: the kernel's
-            backward recomputes the frame on-chip (checkpoint semantics),
-            so no jax.checkpoint is needed around the kernel itself."""
+            """Fused-VMEM frame decode with hand-written VJP — note/dur
+            levels AND the predicted-frame bi-GRU summary run in one kernel
+            whose backward recomputes everything on-chip (checkpoint
+            semantics), so no jax.checkpoint is needed on this path."""
             coins = c2_t[1:].astype(jnp.int32)[:, None]
             interp = jax.default_backend() != "tpu"
-            pitch_o, dur_o, pred_notes, pred_lens = frame_core(
+            pitch_o, dur_o, pred_summary, _ = frame_core(
                 cfg, cfg.dec_notes_hidden, interp, core_w, h, x_emb_t,
                 coins)
-            pred_summary = summ_fn(pp["emb_fwd"], pp["emb_bwd"],
-                                   pred_notes, pred_lens)
             return pitch_o, dur_o, pred_summary
     else:
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):

@@ -3,14 +3,15 @@
 Training-path counterpart of ops/pallas/ar_decoder.py (reference semantics:
 ptvae.py:370-428 teacher-forced branch). One frame = 15 sequential note
 slots x (GRU cell + pitch head + 5-step binary-duration GRU with argmax
-feedback + predicted-note embedding + teacher-coin token select). Under XLA
-this lowers to nested while loops whose backward (plus the frame-remat
-recompute) re-reads every intermediate from HBM — measured to be
+feedback + predicted-note embedding + teacher-coin token select), plus the
+masked bidirectional GRU summary of the predicted notes (ptvae.py:480-486).
+Under XLA this lowers to nested while loops whose backward (plus the
+frame-remat recompute) re-reads every intermediate from HBM — measured to be
 bandwidth-bound (ARCHITECTURE.md: full recompute beats every partial-save
 policy). Here:
 
-- the FORWARD kernel runs the whole frame in VMEM and emits the pitch/dur
-  logits, the predicted-note embeddings, and the eos lengths;
+- the FORWARD kernel runs the whole frame INCLUDING the summary in VMEM and
+  emits the pitch/dur logits, the frame summary, and the eos lengths;
 - the BACKWARD kernel recomputes the forward entirely in VMEM (checkpoint
   semantics: its residuals are just the frame inputs) and hand-differentiates
   the chain in the same VMEM residency, accumulating weight gradients in f32
@@ -18,9 +19,11 @@ policy). Here:
 
 Gradient structure notes (why the hand-VJP is tractable): the argmax
 feedbacks (pitch index, duration bits) carry no gradient, so the only
-cross-slot gradient paths are the note-GRU hidden chain and the predicted
-embedding -> next-token select; the duration chain is differentiated wrt its
-hidden state only (its feedback tokens are one-hots of argmaxed bits).
+cross-slot gradient paths are the note-GRU hidden chain, the predicted
+embedding -> next-token select, and the embedding -> summary bi-GRU; the
+duration chain is differentiated wrt its hidden state only (its feedback
+tokens are one-hots of argmaxed bits), and the summary masks are integer
+functions of the (argmaxed) eos slot.
 
 The teacher-coin select ``token = where(coin_k, gt_k, emb_k)`` follows the
 reference's batch-global per-slot coins (ptvae.py:420-424).
@@ -72,45 +75,44 @@ def _gru_bwd(dh_new, h_prev, r, z, n, h_n, w_hh):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# shared forward body (traced inside both kernels)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: PianoTreeSpec,
-                coins_ref,
-                frame_h_ref, x_emb_ref,
-                w_t2n_ref, b_t2n_ref,
-                w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
-                w_hh_ref, b_hh_ref,
-                w_pitch_ref, b_pitch_ref,
-                w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
-                w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-                w_dout_ref, b_dout_ref,
-                w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
-                pitch_ref, dur_ref, pred_ref, len_ref):
+def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
+                 pitch_ref=None, dur_ref=None):
+    """The frame forward. Returns (hs, tokens, pred, lengths) where
+    hs[k] = note-GRU hidden after slot k (h[0] = initial), tokens[k] = the
+    token consumed by slot k+1, pred[k] = the predicted-note embedding of
+    slot k (pred[0] = gt sos token). Writes logits when refs are given."""
+    (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_h_ref,
+     w_dhid_p_ref, b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+     w_dout_ref, b_dout_ref, w_emb_p_ref, w_emb_d_ref, b_emb_ref,
+     dur_sos_ref) = refs
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
-    B = frame_h_ref.shape[0]
+    B = frame_h.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    dtype = frame_h_ref.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
-    frame_h = frame_h_ref[:]
     h = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
     token = x_emb_ref[0]
-    pred_ref[0] = token
+    hs = [h]
+    tokens = [token]
+    pred = [token]
     lengths = jnp.zeros((B, 1), jnp.int32)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
     for k in range(1, K):
         gi = gi_frame + dot(token, w_ih_tok_ref[:])
         h, _ = _gru_fwd(gi, h, w_hh_ref[:], b_hh_ref[:])
         h = h.astype(dtype)
+        hs.append(h)
         est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
-        pitch_ref[k - 1] = est_pitch
+        if pitch_ref is not None:
+            pitch_ref[k - 1] = est_pitch
         pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
                                axis=-1).astype(jnp.int32)
-
         h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
                + b_dhid_ref[:]).astype(dtype)
         token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
@@ -120,26 +122,77 @@ def _fwd_kernel(spec: PianoTreeSpec,
             h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
             h_d = h_d.astype(dtype)
             logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
-            dur_ref[k - 1, w] = logit
+            if dur_ref is not None:
+                dur_ref[k - 1, w] = logit
             bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
             token_d = (col_w == bit[:, None]).astype(dtype)
         dur_bits = jnp.stack(bits, axis=-1)
-
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
         emb = (dot(pitch_oh, w_emb_p_ref[:]) +
                dot(dur_bits.astype(dtype), w_emb_d_ref[:])
                + b_emb_ref[:]).astype(dtype)
-        pred_ref[k] = emb
-
+        pred.append(emb)
         is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
         lengths = jnp.where(is_eos, k, lengths)
-
         coin = coins_ref[k - 1, 0] != 0
         token = jnp.where(coin, x_emb_ref[k], emb)
+        tokens.append(token)
 
     lengths = jnp.where(lengths == 0, K - 1, lengths)
+    return hs, tokens, pred, lengths
+
+
+def _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
+                 dtype, keep_states=False):
+    """Masked bidirectional GRU over the predicted notes, in VMEM
+    (pack_padded semantics, reference ptvae.py:480-486). Returns
+    (hf, hb) final states, plus the per-step state lists if requested."""
+    K = len(pred)
+    B = pred[0].shape[0]
+    EH = we_hh_ref.shape[1]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    hf = jnp.zeros((B, EH), dtype)
+    hb = jnp.zeros((B, EH), dtype)
+    hf_list, hb_list = [hf], [hb]
+    for k in range(K):
+        mf = (k < lengths).astype(jnp.float32)
+        gif = dot(pred[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
+        hf_new, _ = _gru_fwd(gif, hf, we_hh_ref[0], be_hh_ref[0:1, :])
+        hf = (mf * hf_new + (1.0 - mf) * hf).astype(dtype)
+        kb = K - 1 - k
+        mb = (kb < lengths).astype(jnp.float32)
+        gib = dot(pred[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
+        hb_new, _ = _gru_fwd(gib, hb, we_hh_ref[1], be_hh_ref[1:2, :])
+        hb = (mb * hb_new + (1.0 - mb) * hb).astype(dtype)
+        if keep_states:
+            hf_list.append(hf)
+            hb_list.append(hb)
+    if keep_states:
+        return hf, hb, hf_list, hb_list
+    return hf, hb
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(spec: PianoTreeSpec, *args):
+    (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
+    refs = rest[:22]
+    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[22:26]
+    pitch_ref, dur_ref, summ_ref, len_ref = rest[26:]
+    dtype = frame_h_ref.dtype
+
+    _, _, pred, lengths = _run_forward(
+        spec, refs, coins_ref, frame_h_ref[:], x_emb_ref, dtype,
+        pitch_ref=pitch_ref, dur_ref=dur_ref)
+    hf, hb = _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref,
+                          be_hh_ref, dtype)
+    EH = we_hh_ref.shape[1]
+    summ_ref[:, :EH] = hf
+    summ_ref[:, EH:] = hb
     len_ref[:] = lengths
 
 
@@ -147,28 +200,24 @@ def _fwd_kernel(spec: PianoTreeSpec,
 # backward kernel: recompute fwd in VMEM, then reverse
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(spec: PianoTreeSpec, nh: int,
-                coins_ref,
-                frame_h_ref, x_emb_ref,
-                w_t2n_ref, b_t2n_ref,
-                w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
-                w_hh_ref, b_hh_ref,
-                w_pitch_ref, b_pitch_ref,
-                w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
-                w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-                w_dout_ref, b_dout_ref,
-                w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
-                d_pitch_ref, d_dur_ref, d_pred_ref,
-                # outputs
-                d_frame_h_ref, d_x_emb_ref,
-                d_w_t2n_ref, d_b_t2n_ref,
-                d_w_ih_frame_ref, d_w_ih_tok_ref, d_b_ih_ref,
-                d_w_hh_ref, d_b_hh_ref,
-                d_w_pitch_ref, d_b_pitch_ref,
-                d_w_dhid_h_ref, d_w_dhid_p_ref, d_b_dhid_ref,
-                d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref, d_b_dhh_ref,
-                d_w_dout_ref, d_b_dout_ref,
-                d_w_emb_p_ref, d_w_emb_d_ref, d_b_emb_ref, d_dur_sos_ref):
+def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
+    (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
+    refs = rest[:22]
+    (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_h_ref,
+     w_dhid_p_ref, b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+     w_dout_ref, b_dout_ref, w_emb_p_ref, w_emb_d_ref, b_emb_ref,
+     dur_sos_ref) = refs
+    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[22:26]
+    d_pitch_ref, d_dur_ref, d_summ_ref = rest[26:29]
+    (d_frame_h_ref, d_x_emb_ref,
+     d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref, d_w_ih_tok_ref, d_b_ih_ref,
+     d_w_hh_ref, d_b_hh_ref, d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_h_ref,
+     d_w_dhid_p_ref, d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref,
+     d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref, d_w_emb_p_ref, d_w_emb_d_ref,
+     d_b_emb_ref, d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
+     d_be_hh_ref) = rest[29:]
+
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     B = frame_h_ref.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -191,8 +240,9 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int,
                     d_w_dhid_p_ref, d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref,
                     d_w_dhh_ref, d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref,
                     d_w_emb_p_ref, d_w_emb_d_ref, d_b_emb_ref,
-                    d_dur_sos_ref):
-            ref[...] = jnp.zeros_like(ref)
+                    d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
+                    d_be_hh_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     frame_h = frame_h_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
@@ -201,50 +251,70 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int,
     # per-block output accumulated with += below — zero it first
     d_x_emb_ref[...] = jnp.zeros(d_x_emb_ref.shape, d_x_emb_ref.dtype)
 
-    # ---- phase 1: recompute the forward, stashing per-slot h and tokens
-    h0 = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
+    # ---- phase 1: recompute the forward
+    hs, tokens, pred, lengths = _run_forward(
+        spec, refs, coins_ref, frame_h, x_emb_ref, dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
-    hs = [h0]                       # h after slot k (k=0 -> initial hidden)
-    tokens = [x_emb_ref[0]]         # token consumed by slot k+1
-    h = h0
-    token = tokens[0]
-    for k in range(1, K):
-        gi = gi_frame + dot(token, w_ih_tok_ref[:])
-        h, _ = _gru_fwd(gi, h, w_hh_ref[:], b_hh_ref[:])
-        h = h.astype(dtype)
-        hs.append(h)
-        est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
-        pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
-                               axis=-1).astype(jnp.int32)
-        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
-               + b_dhid_ref[:]).astype(dtype)
-        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
-        bits = []
-        for w in range(W):
-            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
-            h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
-            h_d = h_d.astype(dtype)
-            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
-            bit = jnp.argmax(logit.astype(jnp.float32),
-                             axis=-1).astype(jnp.int32)
-            bits.append(bit)
-            token_d = (col_w == bit[:, None]).astype(dtype)
-        dur_bits = jnp.stack(bits, axis=-1)
-        pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
-        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
-               dot(dur_bits.astype(dtype), w_emb_d_ref[:])
-               + b_emb_ref[:]).astype(dtype)
-        coin = coins_ref[k - 1, 0] != 0
-        token = jnp.where(coin, x_emb_ref[k], emb)
-        tokens.append(token)
+    _, _, hf_list, hb_list = _summary_fwd(
+        pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref, dtype,
+        keep_states=True)
 
-    # ---- phase 2: reverse sweep
     acc = {}
 
     def add(ref, val):
         key = id(ref)
         acc[key] = (ref, val if key not in acc else acc[key][1] + val)
 
+    # ---- phase 2a: summary bi-GRU backward -> d_pred per slot
+    EH = we_hh_ref.shape[1]
+    d_pred = [jnp.zeros((B, pred[0].shape[-1]), f32) for _ in range(K)]
+    d_we = [jnp.zeros(we_ih_ref.shape[1:], f32) for _ in range(2)]
+    d_wh = [jnp.zeros(we_hh_ref.shape[1:], f32) for _ in range(2)]
+    d_bi = [jnp.zeros((1, be_ih_ref.shape[1]), f32) for _ in range(2)]
+    d_bh = [jnp.zeros((1, be_hh_ref.shape[1]), f32) for _ in range(2)]
+
+    d_hf = d_summ_ref[:, :EH].astype(f32)
+    d_hb = d_summ_ref[:, EH:].astype(f32)
+    for k in range(K - 1, -1, -1):
+        # forward direction step k consumed pred[k], mask (k < lengths)
+        mf = (k < lengths).astype(f32)
+        hf_prev = hf_list[k]
+        gif = dot(pred[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
+        _, (r, z, n, h_n) = _gru_fwd(gif, hf_prev, we_hh_ref[0],
+                                     be_hh_ref[0:1, :])
+        d_new = mf * d_hf
+        d_gi, dh_prev, d_gh = _gru_bwd(d_new, hf_prev, r, z, n, h_n,
+                                       we_hh_ref[0])
+        d_pred[k] = d_pred[k] + dot(d_gi, we_ih_ref[0].T)
+        d_we[0] = d_we[0] + wgrad(pred[k], d_gi)
+        d_bi[0] = d_bi[0] + jnp.sum(d_gi, axis=0, keepdims=True)
+        d_wh[0] = d_wh[0] + wgrad(hf_prev, d_gh)
+        d_bh[0] = d_bh[0] + jnp.sum(d_gh, axis=0, keepdims=True)
+        d_hf = (1.0 - mf) * d_hf + dh_prev
+
+        # backward direction step k consumed pred[K-1-k], mask (K-1-k < len)
+        kb = K - 1 - k
+        mb = (kb < lengths).astype(f32)
+        hb_prev = hb_list[k]
+        gib = dot(pred[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
+        _, (rb, zb, nb, h_nb) = _gru_fwd(gib, hb_prev, we_hh_ref[1],
+                                         be_hh_ref[1:2, :])
+        d_newb = mb * d_hb
+        d_gib, dhb_prev, d_ghb = _gru_bwd(d_newb, hb_prev, rb, zb, nb, h_nb,
+                                          we_hh_ref[1])
+        d_pred[kb] = d_pred[kb] + dot(d_gib, we_ih_ref[1].T)
+        d_we[1] = d_we[1] + wgrad(pred[kb], d_gib)
+        d_bi[1] = d_bi[1] + jnp.sum(d_gib, axis=0, keepdims=True)
+        d_wh[1] = d_wh[1] + wgrad(hb_prev, d_ghb)
+        d_bh[1] = d_bh[1] + jnp.sum(d_ghb, axis=0, keepdims=True)
+        d_hb = (1.0 - mb) * d_hb + dhb_prev
+
+    d_we_ih_ref[...] += jnp.stack(d_we).astype(d_we_ih_ref.dtype)
+    d_we_hh_ref[...] += jnp.stack(d_wh).astype(d_we_hh_ref.dtype)
+    d_be_ih_ref[...] += jnp.concatenate(d_bi).astype(d_be_ih_ref.dtype)
+    d_be_hh_ref[...] += jnp.concatenate(d_bh).astype(d_be_hh_ref.dtype)
+
+    # ---- phase 2b: slot reverse sweep
     d_gi_frame = jnp.zeros((B, 3 * nh), f32)
     dh_next = jnp.zeros((B, nh), f32)       # d wrt h_k flowing down the chain
     d_token = [jnp.zeros((B, tokens[0].shape[-1]), f32)
@@ -282,11 +352,10 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int,
         dur_bits = jnp.stack(bits, axis=-1)
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
 
-        # -- gradient wrt emb_k: token select + pred_notes cotangent
+        # -- gradient wrt emb_k: token select + summary cotangent
         coin = coins_ref[k - 1, 0] != 0
         d_tok_k = d_token[k]
-        d_emb = d_pred_ref[k].astype(f32) + \
-            jnp.where(coin, 0.0, d_tok_k)
+        d_emb = d_pred[k] + jnp.where(coin, 0.0, d_tok_k)
         d_x_emb_ref[k] += jnp.where(coin, d_tok_k, 0.0).astype(
             d_x_emb_ref.dtype)
         add(d_w_emb_p_ref, wgrad(pitch_oh, d_emb))
@@ -336,10 +405,9 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int,
         d_token[k - 1] = d_token[k - 1] + dot(d_gi, w_ih_tok_ref[:].T)
         dh_next = dh_prev
 
-    # token0 == x_emb[:, 0]; its cotangent also carries d_pred[:, 0]
-    d_x_emb_ref[0] += (d_token[0]
-                       + d_pred_ref[0].astype(f32)).astype(
-        d_x_emb_ref.dtype)
+    # token0 == x_emb[:, 0] == pred[0]; collects the slot-1 token path AND
+    # the summary's d_pred[0]
+    d_x_emb_ref[0] += (d_token[0] + d_pred[0]).astype(d_x_emb_ref.dtype)
 
     # h0 and gi_frame inputs
     add(d_w_t2n_ref, wgrad(frame_h, dh_next))
@@ -359,15 +427,10 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int,
 # wrapper with custom VJP
 # ---------------------------------------------------------------------------
 
-_CORE_KEYS = ("w_t2n", "b_t2n", "w_ih_frame", "w_ih_tok", "b_ih", "w_hh",
-              "b_hh", "w_pitch", "b_pitch", "w_dhid_h", "w_dhid_p", "b_dhid",
-              "w_dih", "b_dih", "w_dhh", "b_dhh", "w_dout", "b_dout",
-              "w_emb_p", "w_emb_d", "b_emb", "dur_sos")
-
-
 def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
     """Flatten/split the pianotree-decoder params into the kernel layout
-    (same preparation as ar_decoder.frame_decode_pallas)."""
+    (same preparation as ar_decoder.frame_decode_pallas). The last four
+    entries are the stacked (fwd, bwd) summary-GRU weights."""
     spec = cfg.pianotree
     th = cfg.dec_time_hidden
     ng, dg = p["notes_gru"], p["dur_gru"]
@@ -386,6 +449,10 @@ def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
         p["dur_out"]["w"], row(p["dur_out"]["b"]),
         w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
         row(p["dur_sos"]),
+        jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
+        jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),
+        jnp.stack([p["emb_fwd"].b_ih, p["emb_bwd"].b_ih]),
+        jnp.stack([p["emb_fwd"].b_hh, p["emb_bwd"].b_hh]),
     )
 
 
@@ -404,9 +471,9 @@ def _pick_block(B: int) -> int:
     return B
 
 
-def _specs(B, bt, frame_h_dim, K, E, coins_shape, weights):
-    """Common block-spec builders. Slot-indexed tensors use SLOT-LEADING
-    layout ((K, B, ...) etc.) — Mosaic cannot lower the (B, 1, X) unit-dim
+def _specs(bt, coins_shape):
+    """Block-spec builders. Slot-indexed tensors use SLOT-LEADING layout
+    ((K, B, ...) etc.) — Mosaic cannot lower the (B, 1, X) unit-dim
     reshapes that batch-leading per-slot writes would need."""
 
     def batch_spec(*shape, pos=0):
@@ -431,15 +498,17 @@ def _specs(B, bt, frame_h_dim, K, E, coins_shape, weights):
     return batch_spec, wspec, coin_spec
 
 
-def _fwd_call(spec, weights, frame_h, x_emb_t, coins, interpret):
+_VMEM_LIMIT = 120 * 1024 * 1024
+
+
+def _fwd_call(spec, eh, weights, frame_h, x_emb_t, coins, interpret):
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     E = x_emb_t.shape[-1]
     bt = _pick_block(B)
     grid = (B // bt,)
     dtype = frame_h.dtype
-    batch_spec, wspec, coin_spec = _specs(B, bt, frame_h.shape[1], K, E,
-                                          coins.shape, weights)
+    batch_spec, wspec, coin_spec = _specs(bt, coins.shape)
 
     x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
     in_specs = [coin_spec, batch_spec(frame_h.shape[1]),
@@ -447,44 +516,42 @@ def _fwd_call(spec, weights, frame_h, x_emb_t, coins, interpret):
     out_shape = (
         jax.ShapeDtypeStruct((K - 1, B, P), dtype),
         jax.ShapeDtypeStruct((K - 1, W, B, 2), dtype),
-        jax.ShapeDtypeStruct((K, B, E), dtype),
+        jax.ShapeDtypeStruct((B, 2 * eh), dtype),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     )
     out_specs = (batch_spec(K - 1, P, pos=1),
                  batch_spec(K - 1, W, 2, pos=2),
-                 batch_spec(K, E, pos=1), batch_spec(1))
+                 batch_spec(2 * eh), batch_spec(1))
     kernel = functools.partial(_fwd_kernel, spec)
-    pitch, dur, pred, lengths = pl.pallas_call(
+    pitch, dur, summ, lengths = pl.pallas_call(
         kernel, grid=grid, out_shape=out_shape, in_specs=in_specs,
         out_specs=out_specs, interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(coins, frame_h, x_emb_kbe, *weights)
     return (jnp.swapaxes(pitch, 0, 1), jnp.transpose(dur, (2, 0, 1, 3)),
-            jnp.swapaxes(pred, 0, 1), lengths[:, 0])
+            summ, lengths[:, 0])
 
 
-def _bwd_call(spec, nh, weights, frame_h, x_emb_t, coins,
-              d_pitch, d_dur, d_pred, interpret):
+def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
+              d_pitch, d_dur, d_summ, interpret):
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     bt = _pick_block(B)
     grid = (B // bt,)
     E = x_emb_t.shape[-1]
-    batch_spec, wspec, coin_spec = _specs(B, bt, frame_h.shape[1], K, E,
-                                          coins.shape, weights)
+    batch_spec, wspec, coin_spec = _specs(bt, coins.shape)
 
     x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
     d_pitch_k = jnp.swapaxes(d_pitch, 0, 1)              # (K-1, B, P)
     d_dur_k = jnp.transpose(d_dur, (1, 2, 0, 3))         # (K-1, W, B, 2)
-    d_pred_k = jnp.swapaxes(d_pred, 0, 1)                # (K, B, E)
 
     in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
                  batch_spec(K, E, pos=1)]
                 + [wspec(w) for w in weights]
                 + [batch_spec(K - 1, P, pos=1),
                    batch_spec(K - 1, W, 2, pos=2),
-                   batch_spec(K, E, pos=1)])
+                   batch_spec(2 * eh)])
     # outputs: per-block d_frame_h, d_x_emb + accumulated f32 weight grads
     out_shape = [jax.ShapeDtypeStruct((B, frame_h.shape[1]), frame_h.dtype),
                  jax.ShapeDtypeStruct((K, B, E), frame_h.dtype)]
@@ -497,8 +564,8 @@ def _bwd_call(spec, nh, weights, frame_h, x_emb_t, coins,
         kernel, grid=grid, out_shape=tuple(out_shape),
         in_specs=in_specs, out_specs=tuple(out_specs), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-    )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_pred_k)
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_summ)
     d_frame_h, d_x_emb = outs[0], jnp.swapaxes(outs[1], 0, 1)
     d_weights = tuple(g.astype(w.dtype)
                       for g, w in zip(outs[2:], weights))
@@ -508,30 +575,31 @@ def _bwd_call(spec, nh, weights, frame_h, x_emb_t, coins,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def frame_core(cfg: ModelConfig, nh: int, interpret: bool,
                weights, frame_h, x_emb_t, coins):
-    """Teacher-forced frame decode (note + duration levels) as one kernel.
+    """Teacher-forced frame decode (note + duration levels + predicted-frame
+    bi-GRU summary) as one kernel.
 
     weights: tuple from :func:`core_weights`; frame_h (B, TH);
     x_emb_t (B, K, E) ground-truth note embeddings; coins (K-1, 1) int32
     teacher flags for slots 1..K-1.
     Returns (pitch_logits (B, K-1, P), dur_logits (B, K-1, W, 2),
-             pred_notes (B, K, E), lengths (B,) i32).
+             pred_summary (B, 2*emb_hidden), lengths (B,) i32).
     """
-    return _fwd_call(cfg.pianotree, weights, frame_h, x_emb_t, coins,
-                     interpret)
+    return _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, weights, frame_h,
+                     x_emb_t, coins, interpret)
 
 
 def _frame_core_fwd(cfg, nh, interpret, weights, frame_h, x_emb_t, coins):
-    out = _fwd_call(cfg.pianotree, weights, frame_h, x_emb_t, coins,
-                    interpret)
+    out = _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, weights, frame_h,
+                    x_emb_t, coins, interpret)
     return out, (weights, frame_h, x_emb_t, coins)
 
 
 def _frame_core_bwd(cfg, nh, interpret, res, cts):
     weights, frame_h, x_emb_t, coins = res
-    d_pitch, d_dur, d_pred, _ = cts
+    d_pitch, d_dur, d_summ, _ = cts
     d_frame_h, d_x_emb, d_weights = _bwd_call(
-        cfg.pianotree, nh, weights, frame_h, x_emb_t, coins,
-        d_pitch, d_dur, d_pred, interpret)
+        cfg.pianotree, nh, cfg.dec_emb_hidden, weights, frame_h, x_emb_t,
+        coins, d_pitch, d_dur, d_summ, interpret)
     d_coins = np.zeros(coins.shape, jax.dtypes.float0)
     return d_weights, d_frame_h, d_x_emb, d_coins
 

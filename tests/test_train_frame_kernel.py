@@ -18,8 +18,12 @@ def rebuild_params(weights, cfg):
     (so one function of the tuple can run either path)."""
     (w_t2n, b_t2n, w_ihf, w_iht, b_ih, w_hh, b_hh, w_p, b_p,
      w_dh, w_dp, b_dhid, w_dih, b_dih, w_dhh, b_dhh, w_dout, b_dout,
-     w_ep, w_ed, b_e, dur_sos) = weights
+     w_ep, w_ed, b_e, dur_sos, we_ih, we_hh, be_ih, be_hh) = weights
     return {
+        "emb_fwd": GRUParams(w_ih=we_ih[0], w_hh=we_hh[0], b_ih=be_ih[0],
+                             b_hh=be_hh[0]),
+        "emb_bwd": GRUParams(w_ih=we_ih[1], w_hh=we_hh[1], b_ih=be_ih[1],
+                             b_hh=be_hh[1]),
         "time2notes": {"w": w_t2n, "b": b_t2n[0]},
         "notes_gru": GRUParams(w_ih=jnp.concatenate([w_ihf, w_iht]),
                                w_hh=w_hh, b_ih=b_ih[0], b_hh=b_hh[0]),
@@ -48,8 +52,15 @@ def setup(B=4, seed=0):
 
 
 def xla_frame(weights, frame_h, x_emb, coins_b, sos_emb, cfg, spec):
+    """XLA path incl. the predicted-frame summary (matching the kernel's
+    fused outputs)."""
+    from pctd_tpu.ops import bigru_last_masked
+
     p = rebuild_params(weights, cfg)
-    return ptd._decode_notes(p, spec, frame_h, x_emb, coins_b, sos_emb)
+    pitch, dur, pred_notes, lens = ptd._decode_notes(
+        p, spec, frame_h, x_emb, coins_b, sos_emb)
+    summ = bigru_last_masked(p["emb_fwd"], p["emb_bwd"], pred_notes, lens)
+    return pitch, dur, summ, lens
 
 
 def kernel_frame(weights, frame_h, x_emb, coins_b, cfg):
@@ -60,15 +71,15 @@ def kernel_frame(weights, frame_h, x_emb, coins_b, cfg):
 
 def test_fwd_parity():
     cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb = setup()
-    pitch_x, dur_x, pred_x, len_x = xla_frame(weights, frame_h, x_emb,
+    pitch_x, dur_x, summ_x, len_x = xla_frame(weights, frame_h, x_emb,
                                               coins_b, sos_emb, cfg, spec)
-    pitch_k, dur_k, pred_k, len_k = kernel_frame(weights, frame_h, x_emb,
+    pitch_k, dur_k, summ_k, len_k = kernel_frame(weights, frame_h, x_emb,
                                                  coins_b, cfg)
     np.testing.assert_allclose(np.asarray(pitch_k), np.asarray(pitch_x),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dur_k), np.asarray(dur_x),
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_x),
+    np.testing.assert_allclose(np.asarray(summ_k), np.asarray(summ_x),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(len_k), np.asarray(len_x))
 
@@ -82,17 +93,17 @@ def test_grad_parity():
     # random cotangent projections so every output position matters
     gp = jax.random.normal(ks[0], (B, K - 1, P))
     gd = jax.random.normal(ks[1], (B, K - 1, W, 2))
-    ge = jax.random.normal(ks[2], (B, K, cfg.note_emb_size))
+    ge = jax.random.normal(ks[2], (B, 2 * cfg.dec_emb_hidden))
 
     def loss_xla(weights, frame_h, x_emb):
-        pitch, dur, pred, _ = xla_frame(weights, frame_h, x_emb, coins_b,
+        pitch, dur, summ, _ = xla_frame(weights, frame_h, x_emb, coins_b,
                                         sos_emb, cfg, spec)
-        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+        return (pitch * gp).sum() + (dur * gd).sum() + (summ * ge).sum()
 
     def loss_ker(weights, frame_h, x_emb):
-        pitch, dur, pred, _ = kernel_frame(weights, frame_h, x_emb,
+        pitch, dur, summ, _ = kernel_frame(weights, frame_h, x_emb,
                                            coins_b, cfg)
-        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+        return (pitch * gp).sum() + (dur * gd).sum() + (summ * ge).sum()
 
     lx = loss_xla(weights, frame_h, x_emb)
     lk = loss_ker(weights, frame_h, x_emb)
@@ -149,12 +160,12 @@ def test_grad_parity_multiblock():
     ks = jax.random.split(jax.random.PRNGKey(42), 3)
     gp = jax.random.normal(ks[0], (8, K - 1, P))
     gd = jax.random.normal(ks[1], (8, K - 1, W, 2))
-    ge = jax.random.normal(ks[2], (8, K, cfg.note_emb_size))
+    ge = jax.random.normal(ks[2], (8, 2 * cfg.dec_emb_hidden))
 
     def loss_ker(weights, frame_h, x_emb):
-        pitch, dur, pred, _ = kernel_frame(weights, frame_h, x_emb,
+        pitch, dur, summ, _ = kernel_frame(weights, frame_h, x_emb,
                                            coins_b, cfg)
-        return (pitch * gp).sum() + (dur * gd).sum() + (pred * ge).sum()
+        return (pitch * gp).sum() + (dur * gd).sum() + (summ * ge).sum()
 
     g1 = jax.grad(loss_ker, argnums=(0, 1, 2))(weights, frame_h, x_emb)
     tf._BLOCK_OVERRIDE = 4        # -> 2 grid blocks
