@@ -29,7 +29,7 @@ PEAK_FLOPS = {  # per chip, dense
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
                       with_cost: bool = False, remat: bool = False,
-                      unroll_dur: int = 1):
+                      unroll_dur: int = 1, frame_kernel: bool = False):
     import dataclasses
 
     import jax
@@ -42,8 +42,12 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     from pctd_tpu.train.trainer import init_state, make_train_step
     from __graft_entry__ import _example_batch
 
+    # note: with frame_kernel, remat_frames is functionally moot (the
+    # kernel's backward recomputes on-chip) but keeps the analytic FLOPs
+    # accounting correct — the recompute happens either way.
     mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
-                               remat_frames=remat, unroll_dur=unroll_dur)
+                               remat_frames=remat, unroll_dur=unroll_dur,
+                               train_frame_kernel=frame_kernel)
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -210,15 +214,18 @@ def main():
         with open(bpath) as f:
             baseline = json.load(f)
 
-    # throughput config: bf16 MXU path, large batch, frame remat (the saved
-    # inner-scan activations OOM a 16G chip at B >= 1024 without it; remat is
-    # also net FASTER from B >= 512 — less HBM activation traffic).
-    # Measured plateau: B=2048 ~4.9k seg/s; B=4096 OOMs even with remat.
-    # (measured variants at B=2048: unroll_dur=5 ~4960 seg/s vs 4880 at
-    # unroll 1; unrolling the note level too regresses to ~4470)
+    # throughput config: bf16, B=2048, fused train-frame Pallas kernel with
+    # hand-written VJP (ops/pallas/train_frame) — the whole teacher-forced
+    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd. Measured 7449
+    # seg/s vs 6404 for the XLA-scan + frame-remat path (B=4096 OOMs both
+    # ways; B=3072 was plateau already on the XLA path).
     big = _bench_train_step(n_steps=8, batch_size=2048,
                             compute_dtype="bfloat16", with_cost=True,
-                            remat=True, unroll_dur=5)
+                            remat=True, frame_kernel=True)
+    # the XLA nested-scan path at the same shape (frame remat + dur unroll)
+    big_xla = _bench_train_step(n_steps=8, batch_size=2048,
+                                compute_dtype="bfloat16",
+                                remat=True, unroll_dur=5)
     # canonical-parity configs at the reference batch size
     b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
     b128_f32 = _bench_train_step(compute_dtype="float32")
@@ -239,12 +246,18 @@ def main():
         "metric": "train_segments_per_sec_per_chip",
         "value": round(big["segments_per_sec"], 2),
         "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=2048, "
-                "bf16 compute / f32 heads+losses, frame remat)",
+                "bf16 compute / f32 losses, fused train-frame Pallas kernel)",
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
             "throughput_config": {k: (round(v, 5) if isinstance(v, float)
                                       else v)
                                   for k, v in big.items()},
+            "throughput_config_note": "fused train-frame Pallas kernel "
+                                      "(hand-written VJP)",
+            "train_b2048_bf16_xla_scans": {
+                "segments_per_sec": round(big_xla["segments_per_sec"], 2),
+                "step_seconds": round(big_xla["step_seconds"], 5),
+            },
             "mfu_bf16_analytic_matmul": round(mfu, 4) if mfu else None,
             "train_b128_bf16": {
                 "segments_per_sec": round(b128_bf16["segments_per_sec"], 2),
