@@ -228,6 +228,8 @@ def main():
                                 remat=True, unroll_dur=5)
     # canonical-parity configs at the reference batch size
     b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
+    b128_kernel = _bench_train_step(compute_dtype="bfloat16",
+                                    remat=True, frame_kernel=True)
     b128_f32 = _bench_train_step(compute_dtype="float32")
     tens_per_sec = _bench_tensorize()
     dec_pallas = _bench_sampler("pallas")
@@ -265,6 +267,11 @@ def main():
                 "step_seconds_hostsync": round(
                     b128_bf16["step_seconds_hostsync"], 5),
                 "final_loss": round(b128_bf16["final_loss"], 4),
+            },
+            "train_b128_bf16_frame_kernel": {
+                "segments_per_sec": round(b128_kernel["segments_per_sec"],
+                                          2),
+                "step_seconds": round(b128_kernel["step_seconds"], 5),
             },
             "train_b128_f32": {
                 "segments_per_sec": round(b128_f32["segments_per_sec"], 2),
