@@ -64,7 +64,7 @@ def test_make_demos_tiny(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "make_demos.py"),
          "--tiny", "--k", "2", "--out", out],
-        env=env, capture_output=True, text=True, timeout=600)
+        env=env, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     mids = [os.path.join(dp, f) for dp, _, fs in os.walk(out)
             for f in fs if f.endswith(".mid")]
@@ -90,7 +90,7 @@ def test_generate_cli_smoke(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "generate.py"),
          "--chords", "C-Am-F-G", "--bars", "2", "--samples", "2",
          "--out", out],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     from pctd_tpu.data.midi_io import MidiFile
     mf = MidiFile.read(out)
@@ -133,7 +133,7 @@ def test_serve_daemon_end_to_end(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
          "--tiny", "--fixed-batch", "4", "--max-windows", "4"],
-        input=reqs, env=env, capture_output=True, text=True, timeout=900)
+        input=reqs, env=env, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
     assert {"ready": True}.items() <= lines[1].items() or \
