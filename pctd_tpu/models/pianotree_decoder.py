@@ -279,6 +279,13 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     if use_kernel:
         from pctd_tpu.ops.pallas.train_frame import core_weights, frame_core
 
+        if jax.default_backend() != "tpu":
+            import warnings
+
+            warnings.warn(
+                "train_frame_kernel on a non-TPU backend runs the Pallas "
+                "kernels in INTERPRET mode — orders of magnitude slower "
+                "than the XLA path; intended for tests only", stacklevel=2)
         core_w = core_weights(p, cfg)
 
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
@@ -289,8 +296,7 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
             coins = c2_t[1:].astype(jnp.int32)[:, None]
             interp = jax.default_backend() != "tpu"
             pitch_o, dur_o, pred_summary, _ = frame_core(
-                cfg, cfg.dec_notes_hidden, interp, core_w, h, x_emb_t,
-                coins)
+                cfg, interp, core_w, h, x_emb_t, coins)
             return pitch_o, dur_o, pred_summary
     else:
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):

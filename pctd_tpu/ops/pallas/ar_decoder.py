@@ -37,13 +37,10 @@ from pctd_tpu.config import ModelConfig, PianoTreeSpec
 
 
 def _gru(gi, h, w_hh, b_hh):
-    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
+    # shared cell with the training kernel (gate math lives in one place)
+    from pctd_tpu.ops.pallas.train_frame import _gru_fwd
+
+    return _gru_fwd(gi, h, w_hh, b_hh)[0]
 
 
 def _frame_kernel(spec: PianoTreeSpec,
@@ -143,36 +140,13 @@ def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
     spec = cfg.pianotree
     B = h_time.shape[0]
     K, W = spec.max_simu_note, spec.dur_width
-    th = cfg.dec_time_hidden
-    emb = cfg.note_emb_size
-    P = spec.pitch_range
 
-    ng = p["notes_gru"]
-    dg = p["dur_gru"]
-    w_dhid = p["dur_hid"]["w"]                      # (NH + P, DH)
-    # split [h | est_pitch] input (reference dur_hid_linear consumes
-    # cat([note_summary, est_pitch]) -- note order: (hid, pitch))
-    w_dhid_h = w_dhid[:cfg.dec_notes_hidden]
-    w_dhid_p = w_dhid[cfg.dec_notes_hidden:]
-    w_emb = p["note_emb"]["w"]                      # (P + W, emb)
+    # one weight-layout preparation shared with the training kernel
+    # (train_frame.core_weights) — the per-ref ordering of both kernels'
+    # signatures is this tuple's ordering
+    from pctd_tpu.ops.pallas.train_frame import core_weights
 
-    row = lambda b: b.reshape(1, -1)
-    args = (
-        h_time, sos_emb,
-        p["time2notes"]["w"], row(p["time2notes"]["b"]),
-        ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
-        ng.w_hh, row(ng.b_hh),
-        p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
-        w_dhid_h, w_dhid_p, row(p["dur_hid"]["b"]),
-        dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
-        p["dur_out"]["w"], row(p["dur_out"]["b"]),
-        w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
-        row(p["dur_sos"]),
-        jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
-        jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),
-        jnp.stack([p["emb_fwd"].b_ih, p["emb_bwd"].b_ih]),
-        jnp.stack([p["emb_fwd"].b_hh, p["emb_bwd"].b_hh]),
-    )
+    args = (h_time, sos_emb) + core_weights(p, cfg)
 
     kernel = functools.partial(_frame_kernel, spec)
     out_shapes = (

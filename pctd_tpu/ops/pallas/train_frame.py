@@ -465,10 +465,15 @@ def _pick_block(B: int) -> int:
     # double-buffered input windows); 256 fits.
     if _BLOCK_OVERRIDE is not None and B % _BLOCK_OVERRIDE == 0:
         return _BLOCK_OVERRIDE
+    if B <= 256:
+        return B
     for bt in (256, 128):
         if B % bt == 0:
             return bt
-    return B
+    raise ValueError(
+        f"train_frame_kernel needs batch size <= 256 or divisible by 128 "
+        f"(got {B}): a single {B}-row block would exceed the backward "
+        f"kernel's VMEM budget")
 
 
 def _specs(bt, coins_shape):
@@ -572,8 +577,8 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     return d_frame_h, d_x_emb, d_weights
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def frame_core(cfg: ModelConfig, nh: int, interpret: bool,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def frame_core(cfg: ModelConfig, interpret: bool,
                weights, frame_h, x_emb_t, coins):
     """Teacher-forced frame decode (note + duration levels + predicted-frame
     bi-GRU summary) as one kernel.
@@ -588,18 +593,18 @@ def frame_core(cfg: ModelConfig, nh: int, interpret: bool,
                      x_emb_t, coins, interpret)
 
 
-def _frame_core_fwd(cfg, nh, interpret, weights, frame_h, x_emb_t, coins):
+def _frame_core_fwd(cfg, interpret, weights, frame_h, x_emb_t, coins):
     out = _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, weights, frame_h,
                     x_emb_t, coins, interpret)
     return out, (weights, frame_h, x_emb_t, coins)
 
 
-def _frame_core_bwd(cfg, nh, interpret, res, cts):
+def _frame_core_bwd(cfg, interpret, res, cts):
     weights, frame_h, x_emb_t, coins = res
     d_pitch, d_dur, d_summ, _ = cts
     d_frame_h, d_x_emb, d_weights = _bwd_call(
-        cfg.pianotree, nh, cfg.dec_emb_hidden, weights, frame_h, x_emb_t,
-        coins, d_pitch, d_dur, d_summ, interpret)
+        cfg.pianotree, cfg.dec_notes_hidden, cfg.dec_emb_hidden, weights,
+        frame_h, x_emb_t, coins, d_pitch, d_dur, d_summ, interpret)
     d_coins = np.zeros(coins.shape, jax.dtypes.float0)
     return d_weights, d_frame_h, d_x_emb, d_coins
 

@@ -65,8 +65,7 @@ def xla_frame(weights, frame_h, x_emb, coins_b, sos_emb, cfg, spec):
 
 def kernel_frame(weights, frame_h, x_emb, coins_b, cfg):
     coins = coins_b[1:].astype(jnp.int32)[:, None]
-    return frame_core(cfg, cfg.dec_notes_hidden, True, weights, frame_h,
-                      x_emb, coins)
+    return frame_core(cfg, True, weights, frame_h, x_emb, coins)
 
 
 def test_fwd_parity():
