@@ -146,14 +146,20 @@ def chord_loss(c: jnp.ndarray, recon_root, recon_chroma, recon_bass):
 
 def loss(params: dict, cfg: ModelConfig, key: jax.Array, x, c, pr_mat,
          dt_x=None, tfr1=0.0, tfr2=0.0, tfr3=0.0, beta=0.1,
-         weights=(1.0, 0.5), weighted_dur: bool = False, sample: bool = True
-         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+         weights=(1.0, 0.5), weighted_dur: bool = False, sample: bool = True,
+         axis_name=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """ELBO + auxiliary chord loss; returns (total, 11-metric dict matching
-    the reference writer names, model.py:57-68 / train.py:54-55)."""
+    the reference writer names, model.py:57-68 / train.py:54-55).
+
+    ``axis_name``: when running sharded under shard_map, the mesh axis (or
+    axes) over which the masked-CE terms reduce globally — making a
+    data-parallel loss/grad EXACTLY equal the single-program one. The other
+    terms (chord CE, KL) are plain means over equal-sized shards, already
+    exact under the caller's pmean."""
     out, dist_chd, dist_rhy, r_root, r_chroma, r_bass = run(
         params, cfg, key, x, c, pr_mat, dt_x, tfr1, tfr2, tfr3, sample)
     recon, pl, dl = pt_dec.recon_loss(x, out, cfg.pianotree, weights,
-                                      weighted_dur)
+                                      weighted_dur, axis_name=axis_name)
     kl_chd = kl_std_normal(dist_chd)
     kl_rhy = kl_std_normal(dist_rhy)
     kl = kl_chd + kl_rhy

@@ -355,19 +355,25 @@ def draw_coins(key: jax.Array, cfg: ModelConfig, tfr1, tfr2):
 # ---------------------------------------------------------------------------
 
 def recon_loss(x: jnp.ndarray, out: DecoderOutput, spec: PianoTreeSpec,
-               weights=(1.0, 0.5), weighted_dur: bool = False):
+               weights=(1.0, 0.5), weighted_dur: bool = False,
+               axis_name=None):
     """Pitch + duration reconstruction loss (reference ptvae.py:498-529):
-    CE over grid slots 1..K-1 with pad targets ignored."""
+    CE over grid slots 1..K-1 with pad targets ignored.
+
+    ``axis_name``: mesh axis (or axes) for the exact data-parallel masked-CE
+    reduction — see ops.losses.cross_entropy_ignore."""
     gt_pitch = x[:, :, 1:, 0]
     pitch_loss = cross_entropy_ignore(out.pitch_logits, gt_pitch,
-                                      spec.pitch_pad)
+                                      spec.pitch_pad, axis_name=axis_name)
     gt_dur = x[:, :, 1:, 1:]
     if not weighted_dur:
-        dur_loss = cross_entropy_ignore(out.dur_logits, gt_dur, spec.dur_pad)
+        dur_loss = cross_entropy_ignore(out.dur_logits, gt_dur, spec.dur_pad,
+                                        axis_name=axis_name)
     else:
         w = jnp.array([1.0, 0.6, 0.4, 0.3, 0.3])
         per_bit = [cross_entropy_ignore(out.dur_logits[..., i, :],
-                                        gt_dur[..., i], spec.dur_pad)
+                                        gt_dur[..., i], spec.dur_pad,
+                                        axis_name=axis_name)
                    for i in range(spec.dur_width)]
         dur_loss = sum(w[i] * per_bit[i] for i in range(spec.dur_width))
     loss = weights[0] * pitch_loss + weights[1] * dur_loss

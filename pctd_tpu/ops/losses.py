@@ -27,17 +27,31 @@ def _nll(logits: jax.Array, targets: jax.Array) -> jax.Array:
 
 
 def cross_entropy_ignore(logits: jax.Array, targets: jax.Array,
-                         ignore_index: int) -> jax.Array:
+                         ignore_index: int, axis_name=None) -> jax.Array:
     """Mean CE over elements where target != ignore_index (torch parity).
 
     Targets equal to ignore_index are clamped to 0 before the gather purely to
     keep indices in range; their contribution is masked out.
+
+    ``axis_name`` (a mesh axis name or tuple of names) selects the EXACT
+    data-parallel reduction: psum(numerator)/psum(denominator) across the
+    axis, so a sharded batch yields bit-for-bit the single-program global
+    mean — and, because jax transposes psum to psum, the pmean of the
+    per-shard grads downstream is the exact global gradient too. With
+    axis_name=None (default) the mean is per-shard, which under a pmean of
+    shard losses reproduces the reference's DataParallel reduction
+    (/root/reference/amc_dl/torch_plus/module.py:152-159): a mean of
+    per-shard means whose masked denominators differ slightly per shard.
     """
     mask = (targets != ignore_index)
     safe_t = jnp.where(mask, targets, 0)
     nll = _nll(logits, safe_t)
-    denom = jnp.maximum(mask.sum(), 1)
-    return (nll * mask).sum() / denom
+    num = (nll * mask).sum()
+    denom = mask.sum()
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
+    return num / jnp.maximum(denom, 1)
 
 
 def cross_entropy_mean(logits: jax.Array, targets: jax.Array) -> jax.Array:

@@ -78,7 +78,7 @@ def _flat_replica_id(axes: tuple):
 
 def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                              tx: optax.GradientTransformation, mesh: Mesh,
-                             axis="data"):
+                             axis="data", exact_loss: bool = True):
     """Data-parallel train step: (state, pr, chord, shift) -> (state, metrics).
 
     state replicated; (pr, chord, shift) sharded on the batch axis; gradients
@@ -90,9 +90,17 @@ def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
     hosts x chips and reduce gradients hierarchically — XLA lowers the pmean
     over both axes to an ICI all-reduce within each host/slice plus a DCN
     all-reduce across them.
+
+    ``exact_loss=True`` (default) reduces the masked-CE terms with global
+    psum(numerator)/psum(denominator), so the N-chip loss AND gradient equal
+    the single-device ones exactly (the extra psums fuse into the step's
+    existing all-reduce traffic). ``False`` is the reference-compat mode:
+    per-replica means then pmean, i.e. DataParallel's reduction
+    (/root/reference/amc_dl/torch_plus/module.py:152-159).
     """
     axes = _axes_tuple(axis)
     bspec = P(axes)
+    ce_axis = axes if exact_loss else None
 
     def shard_fn(state: TrainState, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
@@ -106,7 +114,8 @@ def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                            tfr1=sched["tfr1"], tfr2=sched["tfr2"],
                            tfr3=sched["tfr3"], beta=sched["beta"],
                            weights=tcfg.weights,
-                           weighted_dur=tcfg.weighted_dur)
+                           weighted_dur=tcfg.weighted_dur,
+                           axis_name=ce_axis)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -126,9 +135,10 @@ def make_parallel_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
 
 def make_parallel_eval_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
-                            axis="data"):
+                            axis="data", exact_loss: bool = True):
     axes = _axes_tuple(axis)
     bspec = P(axes)
+    ce_axis = axes if exact_loss else None
 
     def shard_fn(params, step, key, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
@@ -138,7 +148,8 @@ def make_parallel_eval_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
                              tfr1=sched["tfr1"], tfr2=sched["tfr2"],
                              tfr3=sched["tfr3"], beta=sched["beta"],
                              weights=tcfg.weights,
-                             weighted_dur=tcfg.weighted_dur)
+                             weighted_dur=tcfg.weighted_dur,
+                             axis_name=ce_axis)
         return jax.lax.pmean(metrics, axes)
 
     mapped = _shard_map(

@@ -52,27 +52,67 @@ def test_parallel_train_step_runs_and_replicates():
         np.testing.assert_array_equal(shards[0], s)
 
 
-def test_mesh_loss_matches_single_device():
-    """Deterministic loss (posterior means, full teacher forcing): the
-    pmean over an 8-way sharded batch equals the single-program loss."""
-    mesh = make_mesh(8)
+def _det_loss_setup():
     params = dv.init_params(jax.random.PRNGKey(1), SMALL)
     batch = get_batch(16)
-    feats = batch_features(jnp.asarray(batch["pr"]),
-                           jnp.asarray(batch["chord"]),
-                           jnp.asarray(batch["shift"]), SMALL)
-    x, c, pr_mat, _ = feats
+    x, c, pr_mat, _ = batch_features(jnp.asarray(batch["pr"]),
+                                     jnp.asarray(batch["chord"]),
+                                     jnp.asarray(batch["shift"]), SMALL)
     key = jax.random.PRNGKey(2)
 
-    def det_loss(params, x, c, pr_mat):
+    def det_loss(params, x, c, pr_mat, axis_name=None):
         total, _ = dv.loss(params, SMALL, key, x, c, pr_mat,
-                           tfr1=1.0, tfr2=1.0, tfr3=1.0, sample=False)
+                           tfr1=1.0, tfr2=1.0, tfr3=1.0, sample=False,
+                           axis_name=axis_name)
         return total
 
+    return params, x, c, pr_mat, det_loss
+
+
+def test_mesh_loss_matches_single_device():
+    """Deterministic loss (posterior means, full teacher forcing): with the
+    exact (global-denominator) masked-CE reduction, the sharded loss equals
+    the single-program loss to float tolerance; the reference-compat
+    per-replica-mean mode agrees only approximately (DataParallel semantics,
+    reference module.py:152-159)."""
+    mesh = make_mesh(8)
+    params, x, c, pr_mat, det_loss = _det_loss_setup()
     single = float(det_loss(params, x, c, pr_mat))
 
+    def make_mapped(axis_name):
+        def shard_fn(params, x, c, pr_mat):
+            return jax.lax.pmean(
+                det_loss(params, x, c, pr_mat, axis_name=axis_name), "data")
+        return jax.jit(_shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P(), check_vma=False))
+
+    xs, cs, ps = shard_batch(mesh, np.asarray(x), np.asarray(c),
+                             np.asarray(pr_mat))
+    params_r = replicate(mesh, params)
+
+    exact = float(make_mapped(("data",))(params_r, xs, cs, ps))
+    np.testing.assert_allclose(exact, single, rtol=1e-5)
+
+    compat = float(make_mapped(None)(params_r, xs, cs, ps))
+    np.testing.assert_allclose(compat, single, rtol=2e-2)
+
+
+def test_mesh_grad_matches_single_device():
+    """Gradient parity of the exact DP reduction: pmean of per-shard grads of
+    the psum(num)/psum(denom) loss == the single-program gradient (jax
+    transposes psum to psum, so each shard's local grad is N/D-scaled and the
+    pmean recovers exactly sum(dnum)/D)."""
+    mesh = make_mesh(8)
+    params, x, c, pr_mat, det_loss = _det_loss_setup()
+
+    single_g = jax.jit(jax.grad(det_loss))(params, x, c, pr_mat)
+
     def shard_fn(params, x, c, pr_mat):
-        return jax.lax.pmean(det_loss(params, x, c, pr_mat), "data")
+        g = jax.grad(
+            lambda p: det_loss(p, x, c, pr_mat, axis_name=("data",)))(params)
+        return jax.lax.pmean(g, "data")
 
     mapped = jax.jit(_shard_map(
         shard_fn, mesh=mesh,
@@ -80,12 +120,13 @@ def test_mesh_loss_matches_single_device():
         out_specs=P(), check_vma=False))
     xs, cs, ps = shard_batch(mesh, np.asarray(x), np.asarray(c),
                              np.asarray(pr_mat))
-    sharded = float(mapped(replicate(mesh, params), xs, cs, ps))
+    sharded_g = mapped(replicate(mesh, params), xs, cs, ps)
 
-    # CE means are per-shard means of equal-sized shards -> pmean == global
-    # for every term except the masked CEs, whose denominators vary slightly
-    # per shard; tolerance covers that.
-    np.testing.assert_allclose(sharded, single, rtol=2e-2)
+    flat_s, _ = jax.tree_util.tree_flatten(single_g)
+    flat_m, _ = jax.tree_util.tree_flatten(sharded_g)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
 
 
 def test_parallel_multi_step_training_progresses():
