@@ -159,7 +159,10 @@ class TrainConfig:
     # Gradient accumulation: split each batch into this many microbatches
     # scanned sequentially (activation memory = one microbatch). Combine with
     # ModelConfig.remat_frames for very large effective batches.
-    accum_steps: int = 1
+    # 0 = auto: engage just enough microbatches to keep each under the
+    # measured single-step HBM envelope (trainer.auto_accum_steps), so e.g.
+    # batch_size=4096 trains instead of OOMing on a 16G chip.
+    accum_steps: int = 0
     # run dirs / checkpointing
     result_root: str = "result"
     save_every_epoch: bool = True
@@ -184,3 +187,16 @@ class DataConfig:
     # because ind.pkl overrides the list). Here the filter defaults to == ts;
     # set ref_meter_filter=True to reproduce the reference's literal == 2.
     ref_meter_filter: bool = False
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """Miniature dims for CI smoke runs: identical topology to the canonical
+    model at ~1000x fewer FLOPs (shared by scripts/serve.py,
+    scripts/make_demos.py and their tests so a checkpoint written by one is
+    loadable by the others)."""
+    return dataclasses.replace(
+        ModelConfig(), chd_z_dim=8, txt_z_dim=8, chd_enc_hidden=12,
+        txt_emb_size=12, txt_enc_hidden=12, chd_dec_hidden=12,
+        chd_dec_z_in=8, note_emb_size=12, dec_emb_hidden=8,
+        dec_time_hidden=16, dec_notes_hidden=12, dec_z_in=8,
+        dec_dur_hidden=8, **overrides)

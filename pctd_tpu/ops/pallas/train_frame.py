@@ -462,18 +462,28 @@ _BLOCK_OVERRIDE = None      # tests force a small block to exercise the grid
 def _pick_block(B: int) -> int:
     # 512 rows exceeds VMEM in the backward (measured 190M of 128M: the
     # stashed per-slot hiddens/tokens + f32 weight-grad accumulators +
-    # double-buffered input windows); 256 fits.
-    if _BLOCK_OVERRIDE is not None and B % _BLOCK_OVERRIDE == 0:
+    # double-buffered input windows); 256 fits. Batches not divisible by the
+    # block are zero-padded to the next multiple by the callers (padded rows
+    # are sliced off the outputs, and contribute exactly zero to the weight
+    # grads in the backward because every in-kernel cotangent is linear in
+    # the zero cotangents passed for those rows).
+    if _BLOCK_OVERRIDE is not None:
         return _BLOCK_OVERRIDE
     if B <= 256:
         return B
-    for bt in (256, 128):
-        if B % bt == 0:
-            return bt
-    raise ValueError(
-        f"train_frame_kernel needs batch size <= 256 or divisible by 128 "
-        f"(got {B}): a single {B}-row block would exceed the backward "
-        f"kernel's VMEM budget")
+    if B % 256 == 0:
+        return 256
+    return 128     # minimizes padding for non-divisible batches
+
+
+def _pad_rows(a, axis: int, Bp: int):
+    """Zero-pad the batch dimension ``axis`` of ``a`` up to Bp rows."""
+    B = a.shape[axis]
+    if B == Bp:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, Bp - B)
+    return jnp.pad(a, pad)
 
 
 def _specs(bt, coins_shape):
@@ -511,18 +521,20 @@ def _fwd_call(spec, eh, weights, frame_h, x_emb_t, coins, interpret):
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     E = x_emb_t.shape[-1]
     bt = _pick_block(B)
-    grid = (B // bt,)
+    Bp = -(-B // bt) * bt               # pad batch to a block multiple
+    grid = (Bp // bt,)
     dtype = frame_h.dtype
     batch_spec, wspec, coin_spec = _specs(bt, coins.shape)
 
-    x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
+    frame_h = _pad_rows(frame_h, 0, Bp)
+    x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)   # (K, Bp, E)
     in_specs = [coin_spec, batch_spec(frame_h.shape[1]),
                 batch_spec(K, E, pos=1)] + [wspec(w) for w in weights]
     out_shape = (
-        jax.ShapeDtypeStruct((K - 1, B, P), dtype),
-        jax.ShapeDtypeStruct((K - 1, W, B, 2), dtype),
-        jax.ShapeDtypeStruct((B, 2 * eh), dtype),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((K - 1, Bp, P), dtype),
+        jax.ShapeDtypeStruct((K - 1, W, Bp, 2), dtype),
+        jax.ShapeDtypeStruct((Bp, 2 * eh), dtype),
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
     )
     out_specs = (batch_spec(K - 1, P, pos=1),
                  batch_spec(K - 1, W, 2, pos=2),
@@ -534,8 +546,9 @@ def _fwd_call(spec, eh, weights, frame_h, x_emb_t, coins, interpret):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
     )(coins, frame_h, x_emb_kbe, *weights)
-    return (jnp.swapaxes(pitch, 0, 1), jnp.transpose(dur, (2, 0, 1, 3)),
-            summ, lengths[:, 0])
+    return (jnp.swapaxes(pitch[:, :B], 0, 1),
+            jnp.transpose(dur[:, :, :B], (2, 0, 1, 3)),
+            summ[:B], lengths[:B, 0])
 
 
 def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
@@ -543,13 +556,16 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     bt = _pick_block(B)
-    grid = (B // bt,)
+    Bp = -(-B // bt) * bt               # pad batch to a block multiple
+    grid = (Bp // bt,)
     E = x_emb_t.shape[-1]
     batch_spec, wspec, coin_spec = _specs(bt, coins.shape)
 
-    x_emb_kbe = jnp.swapaxes(x_emb_t, 0, 1)              # (K, B, E)
-    d_pitch_k = jnp.swapaxes(d_pitch, 0, 1)              # (K-1, B, P)
-    d_dur_k = jnp.transpose(d_dur, (1, 2, 0, 3))         # (K-1, W, B, 2)
+    frame_h = _pad_rows(frame_h, 0, Bp)
+    d_summ = _pad_rows(d_summ, 0, Bp)
+    x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)    # (K, Bp, E)
+    d_pitch_k = _pad_rows(jnp.swapaxes(d_pitch, 0, 1), 1, Bp)    # (K-1,Bp,P)
+    d_dur_k = _pad_rows(jnp.transpose(d_dur, (1, 2, 0, 3)), 2, Bp)
 
     in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
                  batch_spec(K, E, pos=1)]
@@ -558,8 +574,8 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
                    batch_spec(K - 1, W, 2, pos=2),
                    batch_spec(2 * eh)])
     # outputs: per-block d_frame_h, d_x_emb + accumulated f32 weight grads
-    out_shape = [jax.ShapeDtypeStruct((B, frame_h.shape[1]), frame_h.dtype),
-                 jax.ShapeDtypeStruct((K, B, E), frame_h.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((Bp, frame_h.shape[1]), frame_h.dtype),
+                 jax.ShapeDtypeStruct((K, Bp, E), frame_h.dtype)]
     out_specs = [batch_spec(frame_h.shape[1]), batch_spec(K, E, pos=1)]
     for w in weights:
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
@@ -571,7 +587,7 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
     )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_summ)
-    d_frame_h, d_x_emb = outs[0], jnp.swapaxes(outs[1], 0, 1)
+    d_frame_h, d_x_emb = outs[0][:B], jnp.swapaxes(outs[1][:, :B], 0, 1)
     d_weights = tuple(g.astype(w.dtype)
                       for g, w in zip(outs[2:], weights))
     return d_frame_h, d_x_emb, d_weights

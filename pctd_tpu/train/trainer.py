@@ -63,6 +63,27 @@ def batch_features(pr, chord, shift, mcfg: ModelConfig):
     return x, c, pr_mat, dt_x
 
 
+def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
+    """Resolve TrainConfig.accum_steps, where 0 = automatic.
+
+    Auto engages just enough microbatches that each stays inside the
+    measured per-step HBM envelope of a 16G chip: 2048 segments with frame
+    remat or the fused train-frame kernel (BENCH B=2048 headline config),
+    512 without (remat is what "enables batch >= 1024", ARCHITECTURE
+    batch-scaling table; B=4096 in one step OOMs on both paths). Picks the
+    smallest microbatch count that divides the batch (required by the
+    accumulation reshape), so any batch size trains instead of OOMing.
+    """
+    if tcfg.accum_steps > 0:
+        return tcfg.accum_steps
+    envelope = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel) else 512
+    B = tcfg.batch_size
+    need = max(1, -(-B // envelope))
+    while B % need:
+        need += 1
+    return need
+
+
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation, split: bool = True):
     """Returns (state, pr, chord, shift) -> (state, metrics), fully on device.
@@ -98,7 +119,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, state.key)
 
-    accum = tcfg.accum_steps
+    accum = auto_accum_steps(mcfg, tcfg)
 
     def grad_accum_fn(params, step, key, x, c, pr_mat, dt_x):
         """Gradient accumulation: split the batch into ``accum`` microbatches
@@ -200,7 +221,12 @@ class Trainer:
     name: str = "disvae"
     run_paths: Optional[RunPaths] = None
     writers: Optional[MetricWriters] = None
-    log_every: int = 1
+    # Metric-write decimation. Epoch averages are exact regardless (they
+    # accumulate on device every step); only logged steps pay a host
+    # transfer, which costs ~9% of the step at B=2048 (BENCH hostsync vs
+    # async). Default 16 = fast; 1 = the reference's per-batch writes
+    # (module.py:147-148).
+    log_every: int = 16
     # capture a jax.profiler trace of steps [profile_start, profile_stop)
     # of epoch 0 into <run>/profile (SURVEY.md §5: the reference has no
     # tracing at all; wall-clock epoch time only)

@@ -177,3 +177,47 @@ def test_grad_parity_multiblock():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4,
             err_msg=f"multiblock grad leaf {i} mismatch")
+
+
+@pytest.mark.slow
+def test_fwd_and_grad_parity_padded_batch():
+    """A batch NOT divisible by the block is zero-padded to the next block
+    multiple: outputs and grads must still match the XLA path exactly
+    (B=6 with a forced block of 4 -> Bp=8, 2 blocks, 2 padded rows)."""
+    from pctd_tpu.ops.pallas import train_frame as tf
+
+    cfg, spec, weights, frame_h, x_emb, coins_b, sos_emb = setup(B=6, seed=5)
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    ks = jax.random.split(jax.random.PRNGKey(17), 3)
+    gp = jax.random.normal(ks[0], (6, K - 1, P))
+    gd = jax.random.normal(ks[1], (6, K - 1, W, 2))
+    ge = jax.random.normal(ks[2], (6, 2 * cfg.dec_emb_hidden))
+
+    def proj(outs):
+        pitch, dur, summ, _ = outs
+        return (pitch * gp).sum() + (dur * gd).sum() + (summ * ge).sum()
+
+    def loss_xla(weights, frame_h, x_emb):
+        return proj(xla_frame(weights, frame_h, x_emb, coins_b, sos_emb,
+                              cfg, spec))
+
+    def loss_ker(weights, frame_h, x_emb):
+        return proj(kernel_frame(weights, frame_h, x_emb, coins_b, cfg))
+
+    tf._BLOCK_OVERRIDE = 4
+    try:
+        fx = xla_frame(weights, frame_h, x_emb, coins_b, sos_emb, cfg, spec)
+        fk = kernel_frame(weights, frame_h, x_emb, coins_b, cfg)
+        for a, b in zip(fx[:3], fk[:3]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fk[3]), np.asarray(fx[3]))
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(weights, frame_h, x_emb)
+    finally:
+        tf._BLOCK_OVERRIDE = None
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gx),
+                                   jax.tree_util.tree_leaves(gk))):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"padded-batch grad leaf {i} mismatch")

@@ -246,3 +246,24 @@ def test_pianotree_variant_train_step(corpora):
                           jnp.asarray(batch["chord"]),
                           jnp.asarray(batch["shift"]))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_auto_accum_steps():
+    """accum_steps=0 (auto) engages just enough microbatches to keep each
+    under the HBM envelope, picking a divisor of the batch."""
+    import dataclasses as dc
+    from pctd_tpu.train.trainer import auto_accum_steps
+
+    remat = dc.replace(SMALL, remat_frames=True)
+    kern = dc.replace(SMALL, train_frame_kernel=True)
+    plain = SMALL
+
+    def t(bs, accum=0):
+        return dc.replace(TrainConfig(), batch_size=bs, accum_steps=accum)
+
+    assert auto_accum_steps(remat, t(2048)) == 1        # envelope
+    assert auto_accum_steps(kern, t(4096)) == 2         # B=4096 trains
+    assert auto_accum_steps(remat, t(128)) == 1
+    assert auto_accum_steps(plain, t(1024)) == 2        # no remat: 512 env
+    assert auto_accum_steps(remat, t(3072)) == 2        # smallest divisor
+    assert auto_accum_steps(remat, t(4096, accum=8)) == 8  # explicit wins

@@ -43,8 +43,11 @@ def main():
     ap.add_argument("--synthetic-songs", type=int, default=40,
                     help="synthetic corpus size when no npz data exists")
     ap.add_argument("--sched-horizon", type=float, default=1.0)
-    ap.add_argument("--log-every", type=int, default=1,
-                    help="write per-batch metrics every N train steps")
+    ap.add_argument("--log-every", type=int, default=16,
+                    help="write per-batch metrics every N train steps "
+                         "(epoch averages stay exact on device regardless; "
+                         "N=1 restores the reference's per-batch writes at "
+                         "~9%% step cost from the host sync)")
     ap.add_argument("--eval-fixed-schedule", action="store_true",
                     help="evaluate at the schedules' final tfr/beta values "
                          "(schedule-invariant val loss / best-checkpoint "
@@ -57,8 +60,10 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize per-frame decoder activations "
                          "(enables batch >= 1024 on a 16G chip)")
-    ap.add_argument("--accum-steps", type=int, default=1,
-                    help="gradient-accumulation microbatches per step")
+    ap.add_argument("--accum-steps", type=int, default=0,
+                    help="gradient-accumulation microbatches per step "
+                         "(0 = auto: engage when the batch exceeds the "
+                         "chip's measured HBM envelope)")
     ap.add_argument("--frame-kernel", action="store_true",
                     help="decode with the fused train-frame Pallas kernel "
                          "(hand-written VJP; fastest on TPU, ~16%% over "
