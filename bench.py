@@ -18,12 +18,32 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 PEAK_FLOPS = {  # per chip, dense
     "bfloat16": 197e12,   # TPU v5e bf16
     "float32": 98.5e12,
 }
+
+# Measurement discipline (VERDICT r1 #2): every number is the MEDIAN of
+# REPEATS independently-synced chains (after warmup), and each result carries
+# its relative spread (max-min)/median as a machine-contention sentinel —
+# a spread above SPREAD_WARN flags the run as contended rather than letting
+# an outlier chain skew a published mean.
+REPEATS = 5
+SPREAD_WARN = 0.15
+
+_spreads = []       # (label, rel_spread) of every timed section this run
+
+
+def _median_time(chain, label: str, repeats: int = REPEATS):
+    """Run ``chain()`` (which must fully sync the device before returning)
+    ``repeats`` times; record spread; return the median wall time."""
+    times = [chain() for _ in range(repeats)]
+    med = statistics.median(times)
+    _spreads.append((label, (max(times) - min(times)) / med if med else 0.0))
+    return med
 
 
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
@@ -68,20 +88,37 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     # steady-state: async chain of n_steps (each step's params feed the next,
     # so all steps really execute) with one final host sync — the per-step
     # tunnel RTT (~25 ms) is amortized, matching real training-loop behavior.
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, pr, chord, shift)
-    loss = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n_steps
+    # Median of REPEATS chains; state threads across chains on purpose.
+    loss_box = {}
+
+    def chain():
+        nonlocal state
+        t0 = time.perf_counter()
+        s, m = state, None
+        for _ in range(n_steps):
+            s, m = step(s, pr, chord, shift)
+        loss_box["loss"] = float(m["loss"])
+        state = s
+        return (time.perf_counter() - t0) / n_steps
+
+    label = f"train_b{batch_size}_{compute_dtype}" + \
+        ("_kernel" if frame_kernel else "")
+    dt = _median_time(chain, label)
 
     # per-step host-synced variant for reference
-    t0 = time.perf_counter()
-    for _ in range(4):
-        state, metrics = step(state, pr, chord, shift)
-        loss = float(metrics["loss"])
-    dt_sync = (time.perf_counter() - t0) / 4
+    def sync_chain():
+        nonlocal state
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(4):
+            s, m = step(s, pr, chord, shift)
+            loss_box["loss"] = float(m["loss"])
+        state = s
+        return (time.perf_counter() - t0) / 4
+
+    dt_sync = _median_time(sync_chain, label + "_hostsync", repeats=3)
     return {"segments_per_sec": batch_size / dt, "step_seconds": dt,
-            "step_seconds_hostsync": dt_sync, "final_loss": loss,
+            "step_seconds_hostsync": dt_sync, "final_loss": loss_box["loss"],
             "batch_size": batch_size, "dtype": compute_dtype,
             "remat": remat, "flops_per_step": flops}
 
@@ -162,13 +199,17 @@ def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
     # accumulate-chain so every iteration really executes, with one final sync
     # (per-iteration host syncs are dominated by ~30 ms tunnel RTT)
     add = jax.jit(lambda a, o: a + o["pr_mat"].sum())
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = f(pr, chord, shift)
-        acc = add(acc, out)
-    float(acc)
-    dt = (time.perf_counter() - t0) / n_iters
+
+    def chain():
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = f(pr, chord, shift)
+            acc = add(acc, out)
+        float(acc)
+        return (time.perf_counter() - t0) / n_iters
+
+    dt = _median_time(chain, "tensorize")
     return batch_size / dt
 
 
@@ -192,13 +233,17 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
     float(est[0, 0, 0, 0])
     add = jax.jit(lambda a, e: a + e.sum())
-    acc = jnp.zeros((), jnp.int32)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
-        acc = add(acc, est)
-    float(acc)
-    dt = (time.perf_counter() - t0) / n_iters
+
+    def chain():
+        acc = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            e = decode(params, z_chd=z_chd, z_rhy=z_rhy)
+            acc = add(acc, e)
+        float(acc)
+        return (time.perf_counter() - t0) / n_iters
+
+    dt = _median_time(chain, f"sample_decode_{backend}_b{batch_size}")
     return {"backend": backend, "batch_size": batch_size,
             "segments_per_sec": batch_size / dt,
             "ms_per_batch": dt * 1e3}
@@ -226,6 +271,11 @@ def main():
     big_xla = _bench_train_step(n_steps=8, batch_size=2048,
                                 compute_dtype="bfloat16",
                                 remat=True, unroll_dur=5)
+    # B=4096: exceeds the single-step HBM envelope; TrainConfig.accum_steps=0
+    # (auto) engages 2 microbatches so it trains instead of OOMing
+    b4096 = _bench_train_step(n_steps=4, batch_size=4096,
+                              compute_dtype="bfloat16", remat=True,
+                              frame_kernel=True)
     # canonical-parity configs at the reference batch size
     b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
     b128_kernel = _bench_train_step(compute_dtype="bfloat16",
@@ -277,6 +327,11 @@ def main():
                 "segments_per_sec": round(b128_f32["segments_per_sec"], 2),
                 "step_seconds": round(b128_f32["step_seconds"], 5),
             },
+            "train_b4096_bf16_kernel_auto_accum": {
+                "segments_per_sec": round(b4096["segments_per_sec"], 2),
+                "step_seconds": round(b4096["step_seconds"], 5),
+                "accum_steps": 2,
+            },
             "tensorize_segments_per_sec": round(tens_per_sec, 1),
             "sample_decode": [
                 {"backend": d["backend"], "batch_size": d["batch_size"],
@@ -286,6 +341,12 @@ def main():
             "device": str(jax.devices()[0]),
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",
+            "timing": {
+                "method": f"median of {REPEATS} synced chains after warmup",
+                "max_rel_spread": round(max(s for _, s in _spreads), 4),
+                "worst_section": max(_spreads, key=lambda t: t[1])[0],
+                "contended": bool(max(s for _, s in _spreads) > SPREAD_WARN),
+            },
         },
     }))
 
