@@ -72,7 +72,7 @@ def main():
         # the variant is load-bearing here (it shapes the restore template);
         # without --variant, try conv first, then pianotree
         variants = [args.variant] if args.variant else ["conv", "pianotree"]
-        model, last_err = None, None
+        model, errors = None, {}
         for v in variants:
             cfg = dataclasses.replace(ModelConfig(), txt_encoder=v)
             try:
@@ -84,11 +84,15 @@ def main():
                         jax.random.PRNGKey(0), cfg).load(args.checkpoint)
                 break
             except Exception as e:          # structure mismatch -> next
-                model, last_err = None, e
+                model, errors[v] = None, e
         if model is None:
+            # report every per-variant error so a non-variant failure
+            # (missing path, corrupt file) is not masked as a variant issue
+            detail = "; ".join(f"[{v}] {type(e).__name__}: {e}"
+                               for v, e in errors.items())
             raise SystemExit(
                 f"could not load {args.checkpoint} as "
-                f"{' or '.join(variants)} texture variant: {last_err}")
+                f"{' or '.join(variants)} texture variant: {detail}")
         ti.save_reference_checkpoint(args.to_torch, model.params)
         print(f"exported {args.checkpoint} -> {args.to_torch} "
               f"({v} texture variant, reference state_dict format)")

@@ -17,10 +17,14 @@ stdin/stdout, one JSON object per line:
      "sample": "texture", "seed": 0}             # texture | chord | both
     {"op": "interp", "a": "a.mid", "b": "b.mid", "out": "i_%02d.mid",
      "count": 5, "what": "chord"}                # chord | texture | both
+    {"op": "reload", "checkpoint": "path"}       # hot-swap weights, no
+                                                 # recompile (same shapes)
+    {"op": "stats"}                              # per-op latency histogram
     {"op": "quit"}
 
 Responses: {"ok": true, "out": ..., "windows": N, "ms": T} or
-{"ok": false, "error": "..."}.
+{"ok": false, "error": "..."}. The loop survives malformed lines (bad JSON,
+non-object payloads, missing files) — each gets an ok:false reply.
 
 Usage:
     python scripts/serve.py --checkpoint runs/result_*/models/disvae_valid \
@@ -59,11 +63,49 @@ def write_grids(path: str, grids, bpm: float, spec):
     return sum(len(s) for s in segments if s)
 
 
+def _percentile(sorted_ms, q):
+    if not sorted_ms:
+        return None
+    i = min(len(sorted_ms) - 1, int(round(q * (len(sorted_ms) - 1))))
+    return round(sorted_ms[i], 1)
+
+
 class Server:
-    def __init__(self, sampler, spec, max_windows: int = 64):
+    def __init__(self, sampler, spec, max_windows: int = 64, cfg=None):
         self.s = sampler
         self.spec = spec
         self.max_windows = max_windows
+        self.cfg = cfg
+        self.latencies = {}          # op -> [ms, ...]
+
+    def record(self, op: str, ms: float):
+        self.latencies.setdefault(op or "?", []).append(ms)
+
+    def stats(self) -> dict:
+        out = {}
+        for op, ms in self.latencies.items():
+            s = sorted(ms)
+            out[op] = {"count": len(s),
+                       "p50_ms": _percentile(s, 0.50),
+                       "p90_ms": _percentile(s, 0.90),
+                       "p99_ms": _percentile(s, 0.99),
+                       "max_ms": round(s[-1], 1)}
+        return out
+
+    def reload(self, path: str) -> None:
+        """Hot-swap checkpoint weights. The jitted programs take params as a
+        runtime argument, so no recompile happens — shapes are fixed by the
+        config, and a structure mismatch raises before anything is swapped."""
+        import jax
+
+        from pctd_tpu.models.disentangle_vae import DisentangleVAE
+
+        model = DisentangleVAE.from_train_checkpoint(path, self.cfg)
+        old = jax.tree_util.tree_structure(self.s.params)
+        new = jax.tree_util.tree_structure(model.params)
+        if old != new:
+            raise ValueError(f"checkpoint structure mismatch: {path}")
+        self.s.params = model.params
 
     def _load(self, path):
         from pctd_tpu.data.songs import midi_to_windows
@@ -78,6 +120,11 @@ class Server:
         op = req.get("op")
         if op == "ping":
             return {"ok": True}
+        if op == "stats":
+            return {"ok": True, "stats": self.stats()}
+        if op == "reload":
+            self.reload(req["checkpoint"])
+            return {"ok": True, "reloaded": req["checkpoint"]}
         if op == "style_transfer":
             pm1, c1, bpm = self._load(req["content"])
             pm2, c2, _ = self._load(req["style"])
@@ -118,8 +165,13 @@ class Server:
                                 interp_rhy=what in ("texture", "both"),
                                 int_count=count)
             outs = []
+            # only %-format when an integer spec (%d / %03i ...) is present;
+            # a literal '%' in the path (e.g. 'mix%final.mid') falls back to
+            # the '.j.mid' suffix instead of raising or mangling the name
+            import re
+            has_int_spec = re.search(r"%[-+ #0]*\d*[di]", req["out"])
             for j in range(count):
-                out = req["out"] % j if "%" in req["out"] else \
+                out = req["out"] % j if has_int_spec else \
                     f"{req['out']}.{j}.mid"
                 write_grids(out, est[:, j], bpm, self.spec)
                 outs.append(out)
@@ -138,29 +190,26 @@ def main():
                     help="shard request batches over all visible devices")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (CI smoke, untrained)")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. 'cpu'; needed because "
+                         "the axon TPU plugin ignores JAX_PLATFORMS set via "
+                         "the environment)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    import dataclasses
-
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pctd_tpu.config import ModelConfig
+    from pctd_tpu.config import ModelConfig, tiny_model_config
     from pctd_tpu.models.disentangle_vae import DisentangleVAE
     from pctd_tpu.models.sampler import Sampler
 
-    if args.tiny:
-        cfg = dataclasses.replace(
-            ModelConfig(), chd_z_dim=8, txt_z_dim=8, chd_enc_hidden=12,
-            txt_emb_size=12, txt_enc_hidden=12, chd_dec_hidden=12,
-            chd_dec_z_in=8, note_emb_size=12, dec_emb_hidden=8,
-            dec_time_hidden=16, dec_notes_hidden=12, dec_z_in=8,
-            dec_dur_hidden=8)
-    else:
-        cfg = ModelConfig()
+    cfg = tiny_model_config() if args.tiny else ModelConfig()
     if args.checkpoint:
         model = DisentangleVAE.from_train_checkpoint(args.checkpoint, cfg)
         print(json.dumps({"loaded": args.checkpoint}), flush=True)
@@ -175,7 +224,7 @@ def main():
         mesh = make_mesh()
     sampler = Sampler(model.params, cfg, frame_decoder=args.frame_decoder,
                       mesh=mesh, fixed_batch=args.fixed_batch)
-    server = Server(sampler, cfg.pianotree, args.max_windows)
+    server = Server(sampler, cfg.pianotree, args.max_windows, cfg=cfg)
     print(json.dumps({"ready": True, "fixed_batch": args.fixed_batch,
                       "devices": jax.device_count() if mesh else 1}),
           flush=True)
@@ -185,15 +234,19 @@ def main():
         if not line:
             continue
         t0 = time.perf_counter()
+        op = None
         try:
             req = json.loads(line)
-            if req.get("op") == "quit":
+            op = req.get("op") if isinstance(req, dict) else None
+            if op == "quit":
                 print(json.dumps({"ok": True, "bye": True}), flush=True)
                 break
             resp = server.handle(req)
         except Exception as e:                      # serve loop must survive
             resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        resp["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        ms = (time.perf_counter() - t0) * 1e3
+        server.record(op, ms)
+        resp["ms"] = round(ms, 1)
         print(json.dumps(resp), flush=True)
 
 

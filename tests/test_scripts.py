@@ -37,23 +37,51 @@ def assert_demo_tree_structure(out: str, k: int, expect_melody: bool = True):
         "A_original", "B_original", "Achd_Btxt", "Bchd_Atxt"]
     assert all(len(t.notes) > 0 for t in mf.tracks)
 
-    # 2: posterior original + 3 samples; prior 2 samples
+    # 1b continued: the four individual per-score files next to all.mid
+    for name in ("A_original", "B_original", "Achd_Btxt", "Bchd_Atxt"):
+        assert len(read(f"{d1}/16bar_style_transfer/{name}.mid").tracks) == 1
+    # a larger more_examples grid in one file (reference swap_31by31.mid)
+    d1m = os.path.join(out, d1, "more_examples")
+    assert any(f.startswith("swap_") for f in os.listdir(d1m))
+
+    # 2: posterior original + 3 samples (+ more_examples sets); prior has the
+    # reference's 4 NAMED progressions (C-Am-F-G on top, 3 in more_examples)
     d2p = "2_texture_variation/posterior_sampling"
     read(f"{d2p}/original.mid")
     for s in range(3):
         read(f"{d2p}/post_sample_{s}.mid")
+    more = os.path.join(out, d2p, "more_examples")
+    assert os.path.isdir(more) and len(os.listdir(more)) >= 1
+    for sample in os.listdir(more):
+        read(f"{d2p}/more_examples/{sample}/original.mid")
+        read(f"{d2p}/more_examples/{sample}/post_sample_0.mid")
+    d2q = "2_texture_variation/prior_sampling"
+    read(f"{d2q}/C-Am-F-G.mid")
+    for prog in ("Am-D7-G", "G-F-Eb", "F-Bb-F"):
+        read(f"{d2q}/more_examples/{prog}.mid")
     for s in range(2):
-        read(f"2_texture_variation/prior_sampling/prior_sample_{s}.mid")
+        read(f"{d2q}/prior_sample_{s}.mid")
 
     # 3: melody + arranged accompaniment tracks (corpora ingested from
-    # accompaniment-only MIDIs have no melody track to lay down)
+    # accompaniment-only MIDIs have no melody track to lay down);
+    # given2bar/given4bar examples + iterative long generation
     mf = read("3_acc_arrangement/arrangement_given_texture.mid")
     want = (["melody", "arranged_acc"] if expect_melody
             else ["arranged_acc"])
     assert [t.name for t in mf.tracks] == want
+    read("3_acc_arrangement/fig_generation_given2bar.mid")
+    read("3_acc_arrangement/more_examples/sample1_given2bar.mid")
+    read("3_acc_arrangement/more_examples/sample1_given4bar.mid")
+    read("3_acc_arrangement/more_examples/long_generation/"
+         "sample1_given4bar.mid")
 
-    # 4: chord interpolation
+    # 4: chord interpolation: corpus pair + named progression pairs in BOTH
+    # directions (reference ships 4 named one-direction files)
     assert len(read("chord_prog_interpolation/interp_chd.mid").tracks) == 1
+    for pa, pb in (("C-Am-F-G", "Eb-Cm-Ab-Bb"), ("Am-Dm-G-C", "C-F-G-C"),
+                   ("Db-G-Cm", "C-D-G")):
+        read(f"chord_prog_interpolation/{pa}_to_{pb}.mid")
+        read(f"chord_prog_interpolation/{pb}_to_{pa}.mid")
 
 
 @pytest.mark.slow
@@ -107,18 +135,37 @@ def test_committed_realmidi_demo_tree_structure():
     assert_demo_tree_structure(out, k=4, expect_melody=False)
 
 
+def _tiny_checkpoint(path: str, seed: int = 7) -> None:
+    """Write a TrainState checkpoint with tiny dims (the daemon's --tiny
+    config) for hot-reload testing."""
+    import jax
+
+    from pctd_tpu.config import TrainConfig, tiny_model_config
+    from pctd_tpu.train.checkpoint import save_state
+    from pctd_tpu.train.trainer import init_state
+
+    state, _ = init_state(jax.random.PRNGKey(seed), tiny_model_config(),
+                          TrainConfig())
+    save_state(path, state)
+
+
 @pytest.mark.slow
 def test_serve_daemon_end_to_end(tmp_path):
     """scripts/serve.py: long-running JSON-lines service — ping, two
-    workflow requests against real demo MIDIs, error survival, quit."""
+    workflow requests against real demo MIDIs, malformed-input survival,
+    checkpoint hot-reload, latency stats, quit."""
     import json
 
     a = ("/root/reference/demo/2_texture_variation/prior_sampling/"
          "more_examples/Am-D7-G.mid")
     b = ("/root/reference/demo/2_texture_variation/prior_sampling/"
          "more_examples/G-F-Eb.mid")
+    if not (os.path.exists(a) and os.path.exists(b)):
+        pytest.skip("reference demo MIDIs not available")
     out1 = str(tmp_path / "st.mid")
     out2 = str(tmp_path / "var.mid")
+    ck = str(tmp_path / "reload_ck")
+    _tiny_checkpoint(ck)
     reqs = "\n".join(json.dumps(r) for r in [
         {"op": "ping"},
         {"op": "style_transfer", "content": a, "style": b, "out": out1,
@@ -126,13 +173,22 @@ def test_serve_daemon_end_to_end(tmp_path):
         {"op": "variation", "input": a, "out": out2, "scale": 0.5,
          "seed": 1},
         {"op": "nonsense"},                      # must not kill the loop
+        {"op": "reload", "checkpoint": ck},      # hot-swap weights
+        {"op": "reload", "checkpoint": str(tmp_path / "missing")},  # error
+        {"op": "variation", "input": a, "out": out2, "scale": 0.5,
+         "seed": 2},                             # still serves after reload
+        {"op": "stats"},
         {"op": "quit"},
     ]) + "\n"
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PCTD_JAX_CACHE=str(tmp_path / "cache"))
+    # two raw malformed lines spliced in: invalid JSON + a non-object payload
+    lines_in = reqs.splitlines(keepends=True)
+    reqs = "".join(lines_in[:4]) + "{not json}\n[1, 2, 3]\n" + \
+        "".join(lines_in[4:])
+    env = dict(os.environ, PCTD_JAX_CACHE=str(tmp_path / "cache"))
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
-         "--tiny", "--fixed-batch", "4", "--max-windows", "4"],
+         "--tiny", "--fixed-batch", "4", "--max-windows", "4",
+         "--platform", "cpu"],
         input=reqs, env=env, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
@@ -143,9 +199,50 @@ def test_serve_daemon_end_to_end(tmp_path):
     assert replies[1]["ok"] and replies[1]["windows"] >= 1  # style transfer
     assert replies[2]["ok"]                               # variation
     assert replies[3]["ok"] is False and "unknown op" in replies[3]["error"]
-    assert replies[4]["ok"] and replies[4].get("bye")     # quit
+    assert replies[4]["ok"] is False                      # {not json}
+    assert replies[5]["ok"] is False                      # [1, 2, 3]
+    assert replies[6]["ok"] and replies[6]["reloaded"] == ck
+    assert replies[7]["ok"] is False                      # missing ckpt
+    assert replies[8]["ok"]                               # serves post-reload
+    stats = replies[9]
+    assert stats["ok"] and stats["stats"]["variation"]["count"] == 2
+    assert stats["stats"]["variation"]["p50_ms"] > 0
+    assert stats["stats"]["reload"]["count"] == 2         # incl. the failure
+    assert replies[10]["ok"] and replies[10].get("bye")   # quit
     from pctd_tpu.data.midi_io import MidiFile
     for out in (out1, out2):
         assert os.path.exists(out)
-        mf = MidiFile.read(out)
-        assert len(mf.tracks) >= 1
+        MidiFile.read(out)
+
+
+@pytest.mark.slow
+def test_serve_daemon_data_parallel_mesh(tmp_path):
+    """--data-parallel on the virtual 8-device CPU mesh: batches shard over
+    the mesh through the Sampler's shard_map programs."""
+    import json
+
+    a = ("/root/reference/demo/2_texture_variation/prior_sampling/"
+         "more_examples/Am-D7-G.mid")
+    if not os.path.exists(a):
+        pytest.skip("reference demo MIDIs not available")
+    out = str(tmp_path / "dp.mid")
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"op": "ping"},
+        {"op": "variation", "input": a, "out": out, "seed": 1},
+        {"op": "quit"},
+    ]) + "\n"
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PCTD_JAX_CACHE=str(tmp_path / "cache"))
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--tiny", "--fixed-batch", "8", "--max-windows", "4",
+         "--platform", "cpu", "--data-parallel"],
+        input=reqs, env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
+    ready = next(ln for ln in lines if "ready" in ln)
+    assert ready["devices"] == 8
+    replies = [ln for ln in lines if "ok" in ln]
+    assert replies[0]["ok"] and replies[1]["ok"]
+    assert os.path.exists(out)
