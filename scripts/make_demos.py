@@ -59,9 +59,15 @@ def main():
                          "MIDI files instead of the synthetic corpus")
     ap.add_argument("--frame-decoder", default="xla",
                     choices=["xla", "pallas", "pallas_full"])
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. 'cpu'; the axon TPU "
+                         "plugin ignores JAX_PLATFORMS from the environment)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
