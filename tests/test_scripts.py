@@ -246,3 +246,14 @@ def test_serve_daemon_data_parallel_mesh(tmp_path):
     replies = [ln for ln in lines if "ok" in ln]
     assert replies[0]["ok"] and replies[1]["ok"]
     assert os.path.exists(out)
+
+
+def test_bench_docs_in_sync():
+    """README/ARCHITECTURE perf tables must match the committed bench
+    artifact (scripts/report_bench.py --check) — published numbers can never
+    drift from the measurement again."""
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "report_bench.py"),
+         os.path.join(REPO, "bench_results.json"), "--check"],
+        capture_output=True, text=True, timeout=60)
+    assert res.returncode == 0, res.stderr
