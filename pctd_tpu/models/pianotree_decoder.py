@@ -398,7 +398,23 @@ def decode_grid(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     runs the ENTIRE decode (time loop included) in one kernel with all
     weights resident in VMEM (ops/pallas/full_decoder) — the serving path;
     'xla' uses the nested-scan decode (the reference-parity path).
+
+    ALL backends trace their matmuls at HIGHEST precision (true f32 on the
+    MXU). The decode's output is pure argmax, and at the TPU's default
+    precision (one bf16 pass) the argmax is schedule-sensitive: XLA-default
+    vs XLA-highest disagree on 2.8% of pitches, and any two lowerings of
+    the same math (XLA scan vs fused kernel) disagree at the ~0.3% level.
+    At highest precision every backend computes the same correctly-rounded
+    f32 logits, making the three backends' discrete outputs agree — and all
+    of them match the f32 torch reference more closely. The chain is
+    dependency-latency-bound, so the extra MXU passes are hidden.
     """
+    with jax.default_matmul_precision("highest"):
+        return _decode_grid_inner(p, cfg, z, frame_decoder, interpret)
+
+
+def _decode_grid_inner(p: dict, cfg: ModelConfig, z: jnp.ndarray,
+                       frame_decoder: str, interpret: bool) -> jnp.ndarray:
     if frame_decoder == "xla":
         return output_to_grid(decode(p, cfg, z))
     if frame_decoder == "pallas_full":

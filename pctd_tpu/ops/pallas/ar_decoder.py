@@ -19,9 +19,11 @@ Weight layout notes
   (time_hidden x 3H) is applied ONCE per frame; the token part
   (emb x 3H) per slot.
 - biases are shipped as (1, X) rows (TPU scalars want 2D).
-- the predicted-note embedding is computed as
-  one_hot(pitch) @ W_emb[:pitch_range] + dur_bits @ W_emb[pitch_range:] + b,
-  i.e. a 130-wide MXU matmul instead of a row gather.
+- the predicted-note embedding is ONE [one_hot(pitch), dur_bits] @ W_emb
+  concatenated matmul (a 135-wide MXU dot instead of a row gather — and the
+  same f32 grouping as the XLA path).
+- the duration chain's input projections are hoisted out of the serial
+  chain entirely (sos: one dot; post-sos: row selects of w_dih + b).
 """
 from __future__ import annotations
 
@@ -49,10 +51,10 @@ def _frame_kernel(spec: PianoTreeSpec,
                   w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
                   w_hh_ref, b_hh_ref,
                   w_pitch_ref, b_pitch_ref,
-                  w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
+                  w_dhid_ref, b_dhid_ref,
                   w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
                   w_dout_ref, b_dout_ref,
-                  w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
+                  w_emb_ref, b_emb_ref, dur_sos_ref,
                   we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
                   pitch_idx_ref, dur_bits_ref, summary_ref, len_ref):
     K = spec.max_simu_note
@@ -70,7 +72,14 @@ def _frame_kernel(spec: PianoTreeSpec,
     pred_notes = [token]                                     # VMEM values
 
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    # dur-chain input projections hoisted: sos once; post-sos tokens are
+    # {0,1} one-hots, so their projections are row selects (bit-exact vs the
+    # one-hot matmul) — see train_frame._run_forward
+    gi_d_sos = dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)),
+                   w_dih_ref[:]) + b_dih_ref[:]
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
 
     h = hid
     for k in range(1, K):
@@ -79,23 +88,23 @@ def _frame_kernel(spec: PianoTreeSpec,
         est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]  # (B, P)
         pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
 
-        # 5-step binary duration chain
-        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
-               + b_dhid_ref[:])
-        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W))
+        # 5-step binary duration chain ([h, est_pitch] @ w_dhid in ONE dot —
+        # the XLA path's grouping, pianotree_decoder.py:132)
+        h_d = dot(jnp.concatenate([h, est_pitch], axis=-1),
+                  w_dhid_ref[:]) + b_dhid_ref[:]
+        gi_d = gi_d_sos
         bits = []
         for _ in range(W):
-            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
             h_d = _gru(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
             logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]  # (B, 2)
-            bit = (logit[:, 1] > logit[:, 0]).astype(jnp.int32)
-            bits.append(bit)
-            token_d = (col_w == bit[:, None]).astype(h_d.dtype)
+            bit = (logit[:, 1] > logit[:, 0])
+            bits.append(bit.astype(jnp.int32))
+            gi_d = jnp.where(bit[:, None], gi_d_row1, gi_d_row0)
         dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)
 
         pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
-        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
-               dot(dur_bits.astype(h.dtype), w_emb_d_ref[:]) + b_emb_ref[:])
+        emb = dot(jnp.concatenate([pitch_oh, dur_bits.astype(h.dtype)],
+                                  axis=-1), w_emb_ref[:]) + b_emb_ref[:]
 
         pitch_idx_ref[:, k - 1] = pitch_ind
         dur_bits_ref[:, k - 1, :] = dur_bits
@@ -109,19 +118,23 @@ def _frame_kernel(spec: PianoTreeSpec,
 
     # masked bidirectional GRU summary of the predicted notes, fully in VMEM
     # (pack_padded semantics: fwd final = h after slot len-1; bwd final =
-    # h after scanning slots len-1 .. 0)
+    # h after scanning slots len-1 .. 0); all input projections in one dot
+    # per direction
     EH = we_hh_ref.shape[1]                                  # emb hidden
+    flat = jnp.stack(pred_notes).reshape(K * B, pred_notes[0].shape[-1])
+    gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
+        K, B, 3 * EH)
+    gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
+        K, B, 3 * EH)
     hf = jnp.zeros((B, EH), h_time.dtype)
     hb = jnp.zeros((B, EH), h_time.dtype)
     for k in range(K):
         mf = (k < lengths).astype(h_time.dtype)              # (B, 1)
-        gif = dot(pred_notes[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
-        hf_new = _gru(gif, hf, we_hh_ref[0], be_hh_ref[0:1, :])
+        hf_new = _gru(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
         hf = mf * hf_new + (1.0 - mf) * hf
         kb = K - 1 - k
         mb = (kb < lengths).astype(h_time.dtype)
-        gib = dot(pred_notes[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
-        hb_new = _gru(gib, hb, we_hh_ref[1], be_hh_ref[1:2, :])
+        hb_new = _gru(gib_all[kb], hb, we_hh_ref[1], be_hh_ref[1:2, :])
         hb = mb * hb_new + (1.0 - mb) * hb
     summary_ref[:, :EH] = hf.astype(summary_ref.dtype)
     summary_ref[:, EH:] = hb.astype(summary_ref.dtype)

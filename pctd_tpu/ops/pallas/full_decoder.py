@@ -5,13 +5,32 @@ levels; the XLA time-level scan around it still pays per-step loop machinery
 and re-streams every weight from HBM 32 times. This kernel runs the WHOLE
 inference decode — 32 time steps x (time-GRU + 15 note slots x (note-GRU +
 pitch head + 5-step dur chain + embedding) + masked bi-GRU summary feedback)
-— as ONE kernel: every weight is DMA'd to VMEM once, all ~3.4k dependent
-matmuls execute back-to-back on-chip, and the only HBM traffic is z-derived
-inputs in and the (T, B, K-1) grids out.
+— as ONE kernel: every weight is DMA'd to VMEM once, all dependent matmuls
+execute back-to-back on-chip, and the only HBM traffic is z-derived inputs
+in and the (T, B, K-1) grids out.
+
+Round-2 redesign of the serial chain (the decode is dependency-latency
+bound: ~12.7k tiny dependent dots at ~8 us each dominated the 104 ms round-1
+time, not FLOPs):
+
+- the 5-wide duration-token projections are GONE: the sos projection is one
+  dot hoisted to kernel start, and the post-sos token is one-hot over {0,1},
+  so its projection IS row 0 or 1 of (w_dih + b_dih) — a jnp.where select,
+  bit-exact vs the matmul (one-hot x w sums exact zeros). Removes
+  4 x 15 x 32 = 1920 chain dots.
+- dur-hidden init and note embedding use the SAME single concatenated
+  matmuls as the XLA path (`[h, est_pitch] @ w_dhid`, `[pitch_oh, dur_bits]
+  @ w_emb`) instead of split dots — one dot fewer each per slot AND the
+  f32 accumulation grouping now matches the XLA scans exactly (the split
+  grouping was the source of pallas_full's round-1 ~0.3% on-device argmax
+  divergence: ulp-level emb differences compounded down the slot chain).
+- the summary bi-GRU's 2 x 16 per-slot input projections collapse into one
+  (K*B, E) @ (E, 3EH) dot per direction per frame (the serial part keeps
+  only the 2 x 16 hidden-side dots).
 
 Semantics identical to pianotree_decoder.decode(p, cfg, z) inference mode
-(reference ptvae.py:430-491 with argmax feedback): verified bit-exact in
-interpret mode and on-device vs the XLA path (tests/test_pallas_decoder.py).
+(reference ptvae.py:430-491 with argmax feedback): verified vs the XLA path
+in interpret mode and on device (tests/test_pallas_decoder.py).
 
 VMEM budget (canonical dims, f32): ~27 MB of weights + ~2 MB activations at
 B=128 — comfortable on a v5e core (~128 MB). The time loop is a
@@ -40,10 +59,10 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
                  w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
                  w_hh_ref, b_hh_ref,
                  w_pitch_ref, b_pitch_ref,
-                 w_dhid_h_ref, w_dhid_p_ref, b_dhid_ref,
+                 w_dhid_ref, b_dhid_ref,
                  w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
                  w_dout_ref, b_dout_ref,
-                 w_emb_p_ref, w_emb_d_ref, b_emb_ref, dur_sos_ref,
+                 w_emb_ref, b_emb_ref, dur_sos_ref,
                  we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
                  pitch_idx_ref, dur_bits_ref):
     K = spec.max_simu_note
@@ -55,7 +74,15 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
     gi_z = gi_z_ref[:]
     sos_emb = sos_emb_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    # duration-chain input projections, hoisted: the sos token is constant
+    # (one dot for the whole kernel), and after it the token is a {0,1}
+    # one-hot, so its projection is row 0/1 of w_dih (+ bias) — selects, not
+    # dots, and bit-exact vs the one-hot matmul (zero products are exact)
+    gi_d_sos = dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)),
+                   w_dih_ref[:]) + b_dih_ref[:]
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]          # (1, 3DH)
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
 
     def frame(t, h_time):
         """One frame's note+dur decode; writes outputs at time t, returns
@@ -73,23 +100,26 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
             est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]
             pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
 
-            h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
-                   + b_dhid_ref[:])
-            token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W))
+            # [h, est_pitch] @ w_dhid in ONE dot (same grouping as the XLA
+            # path's dense over the concat, pianotree_decoder.py:132)
+            h_d = dot(jnp.concatenate([h, est_pitch], axis=-1),
+                      w_dhid_ref[:]) + b_dhid_ref[:]
+            gi_d = gi_d_sos
             bits = []
             for _ in range(W):
-                gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
                 h_d = _gru(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
                 logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]
-                bit = (logit[:, 1] > logit[:, 0]).astype(jnp.int32)
-                bits.append(bit)
-                token_d = (col_w == bit[:, None]).astype(h_d.dtype)
+                bit = (logit[:, 1] > logit[:, 0])
+                bits.append(bit.astype(jnp.int32))
+                gi_d = jnp.where(bit[:, None], gi_d_row1, gi_d_row0)
             dur_bits = jnp.stack(bits, axis=-1)
 
             pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
-            emb = (dot(pitch_oh, w_emb_p_ref[:]) +
-                   dot(dur_bits.astype(h.dtype), w_emb_d_ref[:])
-                   + b_emb_ref[:])
+            # [pitch_oh, dur_bits] @ w_emb in ONE dot (XLA grouping,
+            # pianotree_decoder.py:154 + emb dense)
+            emb = dot(jnp.concatenate(
+                [pitch_oh, dur_bits.astype(h.dtype)], axis=-1),
+                w_emb_ref[:]) + b_emb_ref[:]
 
             # outputs are laid out rows-first — (T*(K-1), B) and
             # (T*(K-1)*W, B) — so the (8, 128)-tiled trailing dims stay
@@ -105,17 +135,23 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
 
         lengths = jnp.where(lengths == 0, K - 1, lengths)
         EH = we_hh_ref.shape[1]
+        # input projections of ALL slots in one dot per direction; the
+        # serial chain keeps only the hidden-side dots
+        notes_kbe = jnp.stack(pred_notes)                  # (K, B, E)
+        flat = notes_kbe.reshape(K * B, notes_kbe.shape[-1])
+        gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
+            K, B, 3 * EH)
+        gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
+            K, B, 3 * EH)
         hf = jnp.zeros((B, EH), h_time.dtype)
         hb = jnp.zeros((B, EH), h_time.dtype)
         for k in range(K):
             mf = (k < lengths).astype(h_time.dtype)
-            gif = dot(pred_notes[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
-            hf_new = _gru(gif, hf, we_hh_ref[0], be_hh_ref[0:1, :])
+            hf_new = _gru(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
             hf = mf * hf_new + (1.0 - mf) * hf
             kb = K - 1 - k
             mb = (kb < lengths).astype(h_time.dtype)
-            gib = dot(pred_notes[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
-            hb_new = _gru(gib, hb, we_hh_ref[1], be_hh_ref[1:2, :])
+            hb_new = _gru(gib_all[kb], hb, we_hh_ref[1], be_hh_ref[1:2, :])
             hb = mb * hb_new + (1.0 - mb) * hb
         return jnp.concatenate([hf, hb], axis=-1)
 
@@ -138,7 +174,6 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     T = spec.num_step
     K, W = spec.max_simu_note, spec.dur_width
     th = cfg.dec_time_hidden
-    P = spec.pitch_range
 
     from pctd_tpu.models.pianotree_decoder import sos_token_raw
 
@@ -154,8 +189,6 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
 
     ng = p["notes_gru"]
     dg = p["dur_gru"]
-    w_dhid = p["dur_hid"]["w"]
-    w_emb = p["note_emb"]["w"]
     row = lambda b: b.reshape(1, -1)
 
     args = (
@@ -165,11 +198,10 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
         ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
         ng.w_hh, row(ng.b_hh),
         p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
-        w_dhid[:cfg.dec_notes_hidden], w_dhid[cfg.dec_notes_hidden:],
-        row(p["dur_hid"]["b"]),
+        p["dur_hid"]["w"], row(p["dur_hid"]["b"]),
         dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
         p["dur_out"]["w"], row(p["dur_out"]["b"]),
-        w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
+        p["note_emb"]["w"], row(p["note_emb"]["b"]),
         row(p["dur_sos"]),
         jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
         jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),

@@ -83,17 +83,28 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
     """The frame forward. Returns (hs, tokens, pred, lengths) where
     hs[k] = note-GRU hidden after slot k (h[0] = initial), tokens[k] = the
     token consumed by slot k+1, pred[k] = the predicted-note embedding of
-    slot k (pred[0] = gt sos token). Writes logits when refs are given."""
+    slot k (pred[0] = gt sos token). Writes logits when refs are given.
+
+    Duration-chain input projections are hoisted: the sos projection is one
+    dot per kernel call, and the post-sos token is a {0,1} one-hot so its
+    projection is row 0/1 of (w_dih + b_dih) — a select, bit-exact vs the
+    one-hot matmul (zero products are exact). The dur-hidden init and note
+    embedding use single concatenated dots (same f32 grouping as the XLA
+    path's dense-over-concat, pianotree_decoder.py:132,154)."""
     (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
-     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_h_ref,
-     w_dhid_p_ref, b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-     w_dout_ref, b_dout_ref, w_emb_p_ref, w_emb_d_ref, b_emb_ref,
+     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_ref,
+     b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+     w_dout_ref, b_dout_ref, w_emb_ref, b_emb_ref,
      dur_sos_ref) = refs
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     B = frame_h.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    gi_d_sos = (dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype),
+                    w_dih_ref[:]) + b_dih_ref[:])
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
 
     h = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
@@ -113,12 +124,11 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
             pitch_ref[k - 1] = est_pitch
         pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
                                axis=-1).astype(jnp.int32)
-        h_d = (dot(h, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
-               + b_dhid_ref[:]).astype(dtype)
-        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
+        h_d = (dot(jnp.concatenate([h, est_pitch], axis=-1),
+                   w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
+        gi_d = gi_d_sos
         bits = []
         for w in range(W):
-            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
             h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
             h_d = h_d.astype(dtype)
             logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
@@ -127,12 +137,12 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
             bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
-            token_d = (col_w == bit[:, None]).astype(dtype)
+            gi_d = jnp.where((bit == 1)[:, None], gi_d_row1, gi_d_row0)
         dur_bits = jnp.stack(bits, axis=-1)
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
-        emb = (dot(pitch_oh, w_emb_p_ref[:]) +
-               dot(dur_bits.astype(dtype), w_emb_d_ref[:])
-               + b_emb_ref[:]).astype(dtype)
+        emb = (dot(jnp.concatenate([pitch_oh, dur_bits.astype(dtype)],
+                                   axis=-1),
+                   w_emb_ref[:]) + b_emb_ref[:]).astype(dtype)
         pred.append(emb)
         is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
         lengths = jnp.where(is_eos, k, lengths)
@@ -153,24 +163,31 @@ def _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
     B = pred[0].shape[0]
     EH = we_hh_ref.shape[1]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    # ALL input projections in one dot per direction (per-row accumulation
+    # identical to the per-slot dots); the serial chain keeps only the
+    # hidden-side dots
+    flat = jnp.stack(pred).reshape(K * B, pred[0].shape[-1])
+    gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
+        K, B, 3 * EH)
+    gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
+        K, B, 3 * EH)
     hf = jnp.zeros((B, EH), dtype)
     hb = jnp.zeros((B, EH), dtype)
     hf_list, hb_list = [hf], [hb]
     for k in range(K):
         mf = (k < lengths).astype(jnp.float32)
-        gif = dot(pred[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
-        hf_new, _ = _gru_fwd(gif, hf, we_hh_ref[0], be_hh_ref[0:1, :])
+        hf_new, _ = _gru_fwd(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
         hf = (mf * hf_new + (1.0 - mf) * hf).astype(dtype)
         kb = K - 1 - k
         mb = (kb < lengths).astype(jnp.float32)
-        gib = dot(pred[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
-        hb_new, _ = _gru_fwd(gib, hb, we_hh_ref[1], be_hh_ref[1:2, :])
+        hb_new, _ = _gru_fwd(gib_all[kb], hb, we_hh_ref[1],
+                             be_hh_ref[1:2, :])
         hb = (mb * hb_new + (1.0 - mb) * hb).astype(dtype)
         if keep_states:
             hf_list.append(hf)
             hb_list.append(hb)
     if keep_states:
-        return hf, hb, hf_list, hb_list
+        return hf, hb, hf_list, hb_list, gif_all, gib_all
     return hf, hb
 
 
@@ -180,9 +197,9 @@ def _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
 
 def _fwd_kernel(spec: PianoTreeSpec, *args):
     (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
-    refs = rest[:22]
-    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[22:26]
-    pitch_ref, dur_ref, summ_ref, len_ref = rest[26:]
+    refs = rest[:20]
+    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
+    pitch_ref, dur_ref, summ_ref, len_ref = rest[24:]
     dtype = frame_h_ref.dtype
 
     _, _, pred, lengths = _run_forward(
@@ -202,21 +219,21 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
 
 def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
-    refs = rest[:22]
+    refs = rest[:20]
     (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
-     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_h_ref,
-     w_dhid_p_ref, b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-     w_dout_ref, b_dout_ref, w_emb_p_ref, w_emb_d_ref, b_emb_ref,
+     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_ref,
+     b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
+     w_dout_ref, b_dout_ref, w_emb_ref, b_emb_ref,
      dur_sos_ref) = refs
-    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[22:26]
-    d_pitch_ref, d_dur_ref, d_summ_ref = rest[26:29]
+    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
+    d_pitch_ref, d_dur_ref, d_summ_ref = rest[24:27]
     (d_frame_h_ref, d_x_emb_ref,
      d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref, d_w_ih_tok_ref, d_b_ih_ref,
-     d_w_hh_ref, d_b_hh_ref, d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_h_ref,
-     d_w_dhid_p_ref, d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref,
-     d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref, d_w_emb_p_ref, d_w_emb_d_ref,
+     d_w_hh_ref, d_b_hh_ref, d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_ref,
+     d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref,
+     d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref, d_w_emb_ref,
      d_b_emb_ref, d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
-     d_be_hh_ref) = rest[29:]
+     d_be_hh_ref) = rest[27:]
 
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     B = frame_h_ref.shape[0]
@@ -236,10 +253,10 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     def _init():
         for ref in (d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref,
                     d_w_ih_tok_ref, d_b_ih_ref, d_w_hh_ref, d_b_hh_ref,
-                    d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_h_ref,
-                    d_w_dhid_p_ref, d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref,
+                    d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_ref,
+                    d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref,
                     d_w_dhh_ref, d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref,
-                    d_w_emb_p_ref, d_w_emb_d_ref, d_b_emb_ref,
+                    d_w_emb_ref, d_b_emb_ref,
                     d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
                     d_be_hh_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
@@ -255,7 +272,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     hs, tokens, pred, lengths = _run_forward(
         spec, refs, coins_ref, frame_h, x_emb_ref, dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
-    _, _, hf_list, hb_list = _summary_fwd(
+    _, _, hf_list, hb_list, gif_all, gib_all = _summary_fwd(
         pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref, dtype,
         keep_states=True)
 
@@ -279,8 +296,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         # forward direction step k consumed pred[k], mask (k < lengths)
         mf = (k < lengths).astype(f32)
         hf_prev = hf_list[k]
-        gif = dot(pred[k], we_ih_ref[0]) + be_ih_ref[0:1, :]
-        _, (r, z, n, h_n) = _gru_fwd(gif, hf_prev, we_hh_ref[0],
+        _, (r, z, n, h_n) = _gru_fwd(gif_all[k], hf_prev, we_hh_ref[0],
                                      be_hh_ref[0:1, :])
         d_new = mf * d_hf
         d_gi, dh_prev, d_gh = _gru_bwd(d_new, hf_prev, r, z, n, h_n,
@@ -296,8 +312,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         kb = K - 1 - k
         mb = (kb < lengths).astype(f32)
         hb_prev = hb_list[k]
-        gib = dot(pred[kb], we_ih_ref[1]) + be_ih_ref[1:2, :]
-        _, (rb, zb, nb, h_nb) = _gru_fwd(gib, hb_prev, we_hh_ref[1],
+        _, (rb, zb, nb, h_nb) = _gru_fwd(gib_all[kb], hb_prev, we_hh_ref[1],
                                          be_hh_ref[1:2, :])
         d_newb = mb * d_hb
         d_gib, dhb_prev, d_ghb = _gru_bwd(d_newb, hb_prev, rb, zb, nb, h_nb,
@@ -320,6 +335,11 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     d_token = [jnp.zeros((B, tokens[0].shape[-1]), f32)
                for _ in range(K)]           # d wrt tokens[k]
 
+    gi_d_sos = (dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype),
+                    w_dih_ref[:]) + b_dih_ref[:])
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+
     for k in range(K - 1, 0, -1):
         h_k = hs[k]
         h_prev = hs[k - 1]
@@ -329,16 +349,18 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         est_pitch = (dot(h_k, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
         pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
                                axis=-1).astype(jnp.int32)
-        h_d0 = (dot(h_k, w_dhid_h_ref[:]) + dot(est_pitch, w_dhid_p_ref[:])
-                + b_dhid_ref[:]).astype(dtype)
+        dhid_in = jnp.concatenate([h_k, est_pitch], axis=-1)
+        h_d0 = (dot(dhid_in, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
+        # the input-side projections are selects (see _run_forward), but the
+        # w_dih weight grad still needs the one-hot tokens themselves
         token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
         hds = [h_d0]
         dur_gates = []
         dur_tokens = [token_d]
         bits = []
         h_d = h_d0
+        gi_d = gi_d_sos
         for w in range(W):
-            gi_d = dot(token_d, w_dih_ref[:]) + b_dih_ref[:]
             h_d, g = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
             h_d = h_d.astype(dtype)
             hds.append(h_d)
@@ -347,8 +369,8 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
                               + b_dout_ref[:]).astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
-            token_d = (col_w == bit[:, None]).astype(dtype)
-            dur_tokens.append(token_d)
+            gi_d = jnp.where((bit == 1)[:, None], gi_d_row1, gi_d_row0)
+            dur_tokens.append((col_w == bit[:, None]).astype(dtype))
         dur_bits = jnp.stack(bits, axis=-1)
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
 
@@ -358,8 +380,8 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         d_emb = d_pred[k] + jnp.where(coin, 0.0, d_tok_k)
         d_x_emb_ref[k] += jnp.where(coin, d_tok_k, 0.0).astype(
             d_x_emb_ref.dtype)
-        add(d_w_emb_p_ref, wgrad(pitch_oh, d_emb))
-        add(d_w_emb_d_ref, wgrad(dur_bits.astype(dtype), d_emb))
+        add(d_w_emb_ref, wgrad(jnp.concatenate(
+            [pitch_oh, dur_bits.astype(dtype)], axis=-1), d_emb))
         add(d_b_emb_ref, jnp.sum(d_emb, axis=0, keepdims=True))
 
         # -- duration chain backward (feedback tokens carry no grad)
@@ -380,12 +402,11 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
                 add(d_dur_sos_ref,
                     jnp.sum(dot(d_gi_d, w_dih_ref[:].T), axis=0,
                             keepdims=True))
-        # h_d0 inputs
-        d_est = d_pitch_ref[k - 1].astype(f32) + \
-            dot(d_hd, w_dhid_p_ref[:].T)
-        dh_k = dh_next + dot(d_hd, w_dhid_h_ref[:].T)
-        add(d_w_dhid_h_ref, wgrad(h_k, d_hd))
-        add(d_w_dhid_p_ref, wgrad(est_pitch, d_hd))
+        # h_d0 inputs: one transpose dot, cotangent split at the h/pitch seam
+        d_dhid_in = dot(d_hd, w_dhid_ref[:].T)              # (B, NH + P)
+        d_est = d_pitch_ref[k - 1].astype(f32) + d_dhid_in[:, nh:]
+        dh_k = dh_next + d_dhid_in[:, :nh]
+        add(d_w_dhid_ref, wgrad(dhid_in, d_hd))
         add(d_b_dhid_ref, jnp.sum(d_hd, axis=0, keepdims=True))
 
         # -- pitch head backward
@@ -428,26 +449,24 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
 # ---------------------------------------------------------------------------
 
 def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
-    """Flatten/split the pianotree-decoder params into the kernel layout
-    (same preparation as ar_decoder.frame_decode_pallas). The last four
-    entries are the stacked (fwd, bwd) summary-GRU weights."""
-    spec = cfg.pianotree
+    """Flatten the pianotree-decoder params into the kernel layout (same
+    preparation as ar_decoder.frame_decode_pallas). The notes-GRU input
+    projection is pre-split (frame part applied once per frame, token part
+    per slot); dur-hidden and note-embedding weights ship WHOLE so the
+    kernels use single concatenated dots (the XLA path's grouping). The last
+    four entries are the stacked (fwd, bwd) summary-GRU weights."""
     th = cfg.dec_time_hidden
     ng, dg = p["notes_gru"], p["dur_gru"]
-    w_dhid = p["dur_hid"]["w"]
-    w_emb = p["note_emb"]["w"]
-    P = spec.pitch_range
     row = lambda b: b.reshape(1, -1)
     return (
         p["time2notes"]["w"], row(p["time2notes"]["b"]),
         ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
         ng.w_hh, row(ng.b_hh),
         p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
-        w_dhid[:cfg.dec_notes_hidden], w_dhid[cfg.dec_notes_hidden:],
-        row(p["dur_hid"]["b"]),
+        p["dur_hid"]["w"], row(p["dur_hid"]["b"]),
         dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
         p["dur_out"]["w"], row(p["dur_out"]["b"]),
-        w_emb[:P], w_emb[P:], row(p["note_emb"]["b"]),
+        p["note_emb"]["w"], row(p["note_emb"]["b"]),
         row(p["dur_sos"]),
         jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
         jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),

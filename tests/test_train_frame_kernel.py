@@ -17,8 +17,8 @@ def rebuild_params(weights, cfg):
     """Inverse of core_weights: kernel weight tuple -> decoder params subset
     (so one function of the tuple can run either path)."""
     (w_t2n, b_t2n, w_ihf, w_iht, b_ih, w_hh, b_hh, w_p, b_p,
-     w_dh, w_dp, b_dhid, w_dih, b_dih, w_dhh, b_dhh, w_dout, b_dout,
-     w_ep, w_ed, b_e, dur_sos, we_ih, we_hh, be_ih, be_hh) = weights
+     w_dhid, b_dhid, w_dih, b_dih, w_dhh, b_dhh, w_dout, b_dout,
+     w_emb, b_e, dur_sos, we_ih, we_hh, be_ih, be_hh) = weights
     return {
         "emb_fwd": GRUParams(w_ih=we_ih[0], w_hh=we_hh[0], b_ih=be_ih[0],
                              b_hh=be_hh[0]),
@@ -28,11 +28,11 @@ def rebuild_params(weights, cfg):
         "notes_gru": GRUParams(w_ih=jnp.concatenate([w_ihf, w_iht]),
                                w_hh=w_hh, b_ih=b_ih[0], b_hh=b_hh[0]),
         "pitch_out": {"w": w_p, "b": b_p[0]},
-        "dur_hid": {"w": jnp.concatenate([w_dh, w_dp]), "b": b_dhid[0]},
+        "dur_hid": {"w": w_dhid, "b": b_dhid[0]},
         "dur_gru": GRUParams(w_ih=w_dih, w_hh=w_dhh, b_ih=b_dih[0],
                              b_hh=b_dhh[0]),
         "dur_out": {"w": w_dout, "b": b_dout[0]},
-        "note_emb": {"w": jnp.concatenate([w_ep, w_ed]), "b": b_e[0]},
+        "note_emb": {"w": w_emb, "b": b_e[0]},
         "dur_sos": dur_sos[0],
     }
 
