@@ -13,6 +13,15 @@ import os
 def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
+    # Honor JAX_PLATFORMS from the environment: once the axon TPU plugin is
+    # installed it IGNORES the env var, so a test/CI subprocess exporting
+    # JAX_PLATFORMS=cpu would silently land on (and contend for) the TPU.
+    # Mirroring the env var into the config restores the documented
+    # semantics for every entry point that calls this.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     path = path or os.environ.get(
         "PCTD_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
