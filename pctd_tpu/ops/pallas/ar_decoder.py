@@ -45,6 +45,12 @@ def _gru(gi, h, w_hh, b_hh):
     return _gru_fwd(gi, h, w_hh, b_hh)[0]
 
 
+def _row_select(logit, row1, row0):
+    from pctd_tpu.ops.pallas.train_frame import _row_select as sel
+
+    return sel(logit, row1, row0)
+
+
 def _frame_kernel(spec: PianoTreeSpec,
                   h_time_ref, sos_emb_ref,
                   w_t2n_ref, b_t2n_ref,
@@ -99,7 +105,9 @@ def _frame_kernel(spec: PianoTreeSpec,
             logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]  # (B, 2)
             bit = (logit[:, 1] > logit[:, 0])
             bits.append(bit.astype(jnp.int32))
-            gi_d = jnp.where(bit[:, None], gi_d_row1, gi_d_row0)
+            # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast a
+            # plain jnp.where needs fails Mosaic relayout at B >= 256
+            gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
         dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)
 
         pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
-from pctd_tpu.ops.pallas.ar_decoder import _gru
+from pctd_tpu.ops.pallas.ar_decoder import _gru, _row_select
 from pctd_tpu.utils.init import dense_apply
 
 
@@ -111,7 +111,9 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
                 logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]
                 bit = (logit[:, 1] > logit[:, 0])
                 bits.append(bit.astype(jnp.int32))
-                gi_d = jnp.where(bit[:, None], gi_d_row1, gi_d_row0)
+                # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast
+                # a plain jnp.where needs fails Mosaic relayout at B >= 256
+                gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
             dur_bits = jnp.stack(bits, axis=-1)
 
             pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)

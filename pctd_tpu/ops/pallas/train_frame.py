@@ -74,6 +74,24 @@ def _gru_bwd(dh_new, h_prev, r, z, n, h_n, w_hh):
     return d_gi, dh_prev, d_gh
 
 
+def _row_select(logit, row1, row0):
+    """Per-row select between two (1, X) f32 rows by the argmax of a (B, 2)
+    logit, WITHOUT an i1 mask or an int->float convert: Mosaic can neither
+    relayout the (B, 1) -> (B, X) i1 broadcast a ``jnp.where(bit[:, None],
+    ...)`` needs at 256-row blocks ("non-singleton logical dimension is
+    replicated in destination but not in source" on vector<256x192xi1>) nor
+    legalize ``arith.sitofp`` on the argmax output. ``logit1 > logit0`` IS
+    argmax == 1 (ties -> index 0), and the i1 -> f32 convert of a compare
+    is supported (same pattern as the pitch one-hot). The multiplicative
+    form is value-exact for finite rows: the not-taken branch contributes
+    an exact 0.0 product and ``x + 0.0 == x`` (only a dead -0.0/+0.0 bit on
+    zero row entries can differ, which no downstream compare or sum can
+    see)."""
+    lf = logit.astype(jnp.float32)
+    bitf = (lf[:, 1:2] > lf[:, 0:1]).astype(jnp.float32)
+    return bitf * row1 + (1.0 - bitf) * row0
+
+
 # ---------------------------------------------------------------------------
 # shared forward body (traced inside both kernels)
 # ---------------------------------------------------------------------------
@@ -137,7 +155,7 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
             bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
-            gi_d = jnp.where((bit == 1)[:, None], gi_d_row1, gi_d_row0)
+            gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
         dur_bits = jnp.stack(bits, axis=-1)
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
         emb = (dot(jnp.concatenate([pitch_oh, dur_bits.astype(dtype)],
@@ -365,11 +383,11 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             h_d = h_d.astype(dtype)
             hds.append(h_d)
             dur_gates.append(g)
-            bit = jnp.argmax((dot(h_d, w_dout_ref[:])
-                              + b_dout_ref[:]).astype(jnp.float32),
+            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
+            bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
-            gi_d = jnp.where((bit == 1)[:, None], gi_d_row1, gi_d_row0)
+            gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
             dur_tokens.append((col_w == bit[:, None]).astype(dtype))
         dur_bits = jnp.stack(bits, axis=-1)
         pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
