@@ -45,10 +45,24 @@ def _gru(gi, h, w_hh, b_hh):
     return _gru_fwd(gi, h, w_hh, b_hh)[0]
 
 
+def _gru_pre(gi, gh, h):
+    # gate math from a precomputed hidden projection (chain-hoisted gh)
+    from pctd_tpu.ops.pallas.train_frame import _gru_gates
+
+    return _gru_gates(gi, gh, h)[0]
+
+
 def _row_select(logit, row1, row0):
     from pctd_tpu.ops.pallas.train_frame import _row_select as sel
 
     return sel(logit, row1, row0)
+
+
+# Combined dur-chain weight layout — canonical helper lives in train_frame
+# (_dur_comb): [w_dout (2) | zero pad | w_dhh (3*DH)], the w_dhh block
+# tile-aligned, so one dot per dur step yields (logit, next gh) bit-exactly.
+from pctd_tpu.ops.pallas.train_frame import (_DUR_PAD,
+                                             _dur_comb as dur_comb_weights)
 
 
 def _frame_kernel(spec: PianoTreeSpec,
@@ -58,8 +72,7 @@ def _frame_kernel(spec: PianoTreeSpec,
                   w_hh_ref, b_hh_ref,
                   w_pitch_ref, b_pitch_ref,
                   w_dhid_ref, b_dhid_ref,
-                  w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-                  w_dout_ref, b_dout_ref,
+                  w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
                   w_emb_ref, b_emb_ref, dur_sos_ref,
                   we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
                   pitch_idx_ref, dur_bits_ref, summary_ref, len_ref):
@@ -88,21 +101,30 @@ def _frame_kernel(spec: PianoTreeSpec,
     gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
 
     h = hid
+    gh = dot(hid, w_hh_ref[:]) + b_hh_ref[:]
     for k in range(1, K):
         gi = gi_frame + dot(token, w_ih_tok_ref[:])
-        h = _gru(gi, h, w_hh_ref[:], b_hh_ref[:])
+        h = _gru_pre(gi, gh, h)
+        # next slot's hidden projection issues HERE — it depends only on h,
+        # so it overlaps the whole dur chain instead of sitting on the
+        # serial path between token_{k} and the slot-(k+1) gates
+        gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
         est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]  # (B, P)
         pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
 
         # 5-step binary duration chain ([h, est_pitch] @ w_dhid in ONE dot —
-        # the XLA path's grouping, pianotree_decoder.py:132)
+        # the XLA path's grouping, pianotree_decoder.py:132); each step is
+        # ONE combined dot yielding (logit_w, gh_{w+1}) — see
+        # dur_comb_weights
         h_d = dot(jnp.concatenate([h, est_pitch], axis=-1),
                   w_dhid_ref[:]) + b_dhid_ref[:]
+        X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
         gi_d = gi_d_sos
         bits = []
         for _ in range(W):
-            h_d = _gru(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
-            logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]  # (B, 2)
+            h_d = _gru_pre(gi_d, X[:, _DUR_PAD:], h_d)
+            X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
+            logit = X[:, 0:2]
             bit = (logit[:, 1] > logit[:, 0])
             bits.append(bit.astype(jnp.int32))
             # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast a
@@ -163,11 +185,13 @@ def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
     K, W = spec.max_simu_note, spec.dur_width
 
     # one weight-layout preparation shared with the training kernel
-    # (train_frame.core_weights) — the per-ref ordering of both kernels'
-    # signatures is this tuple's ordering
+    # (train_frame.core_weights), with the dur-chain (w_dhh, w_dout) pair
+    # swapped for their combined layout (dur_comb_weights)
     from pctd_tpu.ops.pallas.train_frame import core_weights
 
-    args = (h_time, sos_emb) + core_weights(p, cfg)
+    cw = core_weights(p, cfg)
+    w_dcomb, b_dcomb = dur_comb_weights(*cw[13:17])
+    args = (h_time, sos_emb) + cw[:13] + (w_dcomb, b_dcomb) + cw[17:]
 
     kernel = functools.partial(_frame_kernel, spec)
     out_shapes = (

@@ -48,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
-from pctd_tpu.ops.pallas.ar_decoder import _gru, _row_select
+from pctd_tpu.ops.pallas.ar_decoder import (_DUR_PAD, _gru, _gru_pre,
+                                            _row_select, dur_comb_weights)
 from pctd_tpu.utils.init import dense_apply
 
 
@@ -60,8 +61,7 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
                  w_hh_ref, b_hh_ref,
                  w_pitch_ref, b_pitch_ref,
                  w_dhid_ref, b_dhid_ref,
-                 w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-                 w_dout_ref, b_dout_ref,
+                 w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
                  w_emb_ref, b_emb_ref, dur_sos_ref,
                  we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
                  pitch_idx_ref, dur_bits_ref):
@@ -94,21 +94,30 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
         pred_notes = [token]
 
         h = hid
+        gh = dot(hid, w_hh_ref[:]) + b_hh_ref[:]
         for k in range(1, K):
             gi = gi_frame + dot(token, w_ih_tok_ref[:])
-            h = _gru(gi, h, w_hh_ref[:], b_hh_ref[:])
+            h = _gru_pre(gi, gh, h)
+            # next slot's hidden projection issues HERE — it depends only
+            # on h, so it overlaps the dur chain instead of sitting between
+            # token_k and the slot-(k+1) gates on the serial path
+            gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
             est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]
             pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
 
             # [h, est_pitch] @ w_dhid in ONE dot (same grouping as the XLA
-            # path's dense over the concat, pianotree_decoder.py:132)
+            # path's dense over the concat, pianotree_decoder.py:132); each
+            # dur step is ONE combined dot yielding (logit_w, gh_{w+1}) —
+            # see ar_decoder.dur_comb_weights
             h_d = dot(jnp.concatenate([h, est_pitch], axis=-1),
                       w_dhid_ref[:]) + b_dhid_ref[:]
+            X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
             gi_d = gi_d_sos
             bits = []
             for _ in range(W):
-                h_d = _gru(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
-                logit = dot(h_d, w_dout_ref[:]) + b_dout_ref[:]
+                h_d = _gru_pre(gi_d, X[:, _DUR_PAD:], h_d)
+                X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
+                logit = X[:, 0:2]
                 bit = (logit[:, 1] > logit[:, 0])
                 bits.append(bit.astype(jnp.int32))
                 # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast
@@ -158,13 +167,18 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
         return jnp.concatenate([hf, hb], axis=-1)
 
     def body(t, carry):
-        h_time, token = carry
+        h_time, gh_time, token = carry
         gi = gi_z + dot(token, wt_tok_ref[:])
-        h_time = _gru(gi, h_time, wt_hh_ref[:], bt_hh_ref[:])
+        h_time = _gru_pre(gi, gh_time, h_time)
+        # next frame's time-GRU hidden projection: depends only on h_time,
+        # so it overlaps the whole frame decode below
+        gh_time = dot(h_time, wt_hh_ref[:]) + bt_hh_ref[:]
         summary = frame(t, h_time)
-        return h_time, summary.astype(token.dtype)
+        return h_time, gh_time, summary.astype(token.dtype)
 
-    jax.lax.fori_loop(0, T, body, (h0_ref[:], token0_ref[:]))
+    h0 = h0_ref[:]
+    gh0 = dot(h0, wt_hh_ref[:]) + bt_hh_ref[:]
+    jax.lax.fori_loop(0, T, body, (h0, gh0, token0_ref[:]))
 
 
 def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
@@ -201,8 +215,9 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
         ng.w_hh, row(ng.b_hh),
         p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
         p["dur_hid"]["w"], row(p["dur_hid"]["b"]),
-        dg.w_ih, row(dg.b_ih), dg.w_hh, row(dg.b_hh),
-        p["dur_out"]["w"], row(p["dur_out"]["b"]),
+        dg.w_ih, row(dg.b_ih),
+        *dur_comb_weights(dg.w_hh, row(dg.b_hh),
+                          p["dur_out"]["w"], row(p["dur_out"]["b"])),
         p["note_emb"]["w"], row(p["note_emb"]["b"]),
         row(p["dur_sos"]),
         jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),

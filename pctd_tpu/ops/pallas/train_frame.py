@@ -42,9 +42,28 @@ from jax.experimental.pallas import tpu as pltpu
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
 
 
-def _gru_fwd(gi, h, w_hh, b_hh):
-    """One GRU step (torch gate convention); returns (h', (r, z, n, h_n))."""
-    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+# Combined dur-chain weight layout: [w_dout (2) | zero pad | w_dhh (3*DH)],
+# the w_dhh block starting at the next 128-lane tile boundary so both output
+# slices are tile-aligned. One (B, DH) @ (DH, pad+3DH) dot then yields a dur
+# step's logit AND the next step's hidden projection — the chain's two
+# serial dots per step become one (each output column is the same dot
+# product as in the separate matmuls, so values are bit-exact).
+_DUR_PAD = 128
+
+
+def _dur_comb(w_dhh, b_dhh, w_dout, b_dout):
+    """(DH, 2 + pad + 3DH) combined weight and (1, ...) bias rows."""
+    dh = w_dhh.shape[0]
+    pad = jnp.zeros((dh, _DUR_PAD - w_dout.shape[1]), w_dhh.dtype)
+    padb = jnp.zeros((1, _DUR_PAD - b_dout.shape[1]), b_dhh.dtype)
+    return (jnp.concatenate([w_dout, pad, w_dhh], axis=1),
+            jnp.concatenate([b_dout, padb, b_dhh], axis=1))
+
+
+def _gru_gates(gi, gh, h):
+    """GRU gate math (torch convention) from precomputed input/hidden
+    projections; returns (h', (r, z, n, h_n)). Split out so callers can
+    hoist or combine the ``h @ w_hh`` dot off the serial chain."""
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
@@ -52,6 +71,12 @@ def _gru_fwd(gi, h, w_hh, b_hh):
     n = jnp.tanh(i_n + r * h_n)
     h_new = (1.0 - z) * n + z * h
     return h_new, (r, z, n, h_n)
+
+
+def _gru_fwd(gi, h, w_hh, b_hh):
+    """One GRU step (torch gate convention); returns (h', (r, z, n, h_n))."""
+    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    return _gru_gates(gi, gh, h)
 
 
 def _gru_bwd(dh_new, h_prev, r, z, n, h_n, w_hh):
@@ -123,9 +148,14 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
                     w_dih_ref[:]) + b_dih_ref[:])
     gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
     gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+    # combined dur-chain weights (one dot per dur step instead of two):
+    # [w_dout | pad | w_dhh], slices tile-aligned — see _dur_comb
+    w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
+                                 w_dout_ref[:], b_dout_ref[:])
 
     h = (dot(frame_h, w_t2n_ref[:]) + b_t2n_ref[:]).astype(dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
+    gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
     token = x_emb_ref[0]
     hs = [h]
     tokens = [token]
@@ -134,9 +164,12 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
 
     for k in range(1, K):
         gi = gi_frame + dot(token, w_ih_tok_ref[:])
-        h, _ = _gru_fwd(gi, h, w_hh_ref[:], b_hh_ref[:])
+        h, _ = _gru_gates(gi, gh, h)
         h = h.astype(dtype)
         hs.append(h)
+        # next slot's hidden projection issues here (depends only on h) so
+        # it overlaps the dur chain instead of sitting on the serial path
+        gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
         est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
         if pitch_ref is not None:
             pitch_ref[k - 1] = est_pitch
@@ -144,12 +177,14 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
                                axis=-1).astype(jnp.int32)
         h_d = (dot(jnp.concatenate([h, est_pitch], axis=-1),
                    w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
+        X = dot(h_d, w_dcomb) + b_dcomb
         gi_d = gi_d_sos
         bits = []
         for w in range(W):
-            h_d, _ = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            h_d, _ = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
             h_d = h_d.astype(dtype)
-            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
+            X = dot(h_d, w_dcomb) + b_dcomb
+            logit = X[:, 0:2].astype(dtype)
             if dur_ref is not None:
                 dur_ref[k - 1, w] = logit
             bit = jnp.argmax(logit.astype(jnp.float32),
@@ -357,6 +392,9 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
                     w_dih_ref[:]) + b_dih_ref[:])
     gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
     gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+    # same combined dur weights as the forward so the recompute is bit-equal
+    w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
+                                 w_dout_ref[:], b_dout_ref[:])
 
     for k in range(K - 1, 0, -1):
         h_k = hs[k]
@@ -377,13 +415,15 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         dur_tokens = [token_d]
         bits = []
         h_d = h_d0
+        X = dot(h_d0, w_dcomb) + b_dcomb
         gi_d = gi_d_sos
         for w in range(W):
-            h_d, g = _gru_fwd(gi_d, h_d, w_dhh_ref[:], b_dhh_ref[:])
+            h_d, g = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
             h_d = h_d.astype(dtype)
             hds.append(h_d)
             dur_gates.append(g)
-            logit = (dot(h_d, w_dout_ref[:]) + b_dout_ref[:]).astype(dtype)
+            X = dot(h_d, w_dcomb) + b_dcomb
+            logit = X[:, 0:2].astype(dtype)
             bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
