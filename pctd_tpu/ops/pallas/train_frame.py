@@ -15,7 +15,15 @@ policy). Here:
 - the BACKWARD kernel recomputes the forward entirely in VMEM (checkpoint
   semantics: its residuals are just the frame inputs) and hand-differentiates
   the chain in the same VMEM residency, accumulating weight gradients in f32
-  across batch-grid blocks.
+  across batch-grid blocks. Every slot-independent computation is batched
+  over (K-1)*B rows: the summary bi-GRU's gate projections and weight/d_pred
+  dots, the pitch heads, the duration chains (the 14x5 serial links collapse
+  to 5 wide steps), and the emb/x_emb cotangents. Only the note-GRU reverse
+  recurrence stays serial, its gate projections issued one step early so
+  their latency hides behind the recurrence. To keep 256-row blocks inside
+  VMEM the dur-chain recompute stashes just the bf16 hidden states and the
+  decided bits; the f32 gate tuples are recomputed in the backward loop
+  (same dots, same inputs => bit-exact).
 
 Gradient structure notes (why the hand-VJP is tractable): the argmax
 feedbacks (pitch index, duration bits) carry no gradient, so the only
@@ -290,6 +298,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
 
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     B = frame_h_ref.shape[0]
+    KB = (K - 1) * B
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
     def wgrad(x, dy):
@@ -315,13 +324,10 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     frame_h = frame_h_ref[:]
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (KB, P), 1)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (KB, W), 1)
 
-    # per-block output accumulated with += below — zero it first
-    d_x_emb_ref[...] = jnp.zeros(d_x_emb_ref.shape, d_x_emb_ref.dtype)
-
-    # ---- phase 1: recompute the forward
+    # ---- phase 1: recompute the forward (the true serial recurrence)
     hs, tokens, pred, lengths = _run_forward(
         spec, refs, coins_ref, frame_h, x_emb_ref, dtype)
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
@@ -335,158 +341,203 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         key = id(ref)
         acc[key] = (ref, val if key not in acc else acc[key][1] + val)
 
-    # ---- phase 2a: summary bi-GRU backward -> d_pred per slot
+    # ---- phase 2a: summary bi-GRU backward. The serial loop keeps only the
+    # gate math and the d_gh @ w_hh.T recurrence dot: the hidden-side gate
+    # projections batch upfront (states are saved), and every d_pred /
+    # weight-grad dot defers into ONE batched dot after the loop.
     EH = we_hh_ref.shape[1]
-    d_pred = [jnp.zeros((B, pred[0].shape[-1]), f32) for _ in range(K)]
-    d_we = [jnp.zeros(we_ih_ref.shape[1:], f32) for _ in range(2)]
-    d_wh = [jnp.zeros(we_hh_ref.shape[1:], f32) for _ in range(2)]
-    d_bi = [jnp.zeros((1, be_ih_ref.shape[1]), f32) for _ in range(2)]
-    d_bh = [jnp.zeros((1, be_hh_ref.shape[1]), f32) for _ in range(2)]
+    hf_stack = jnp.concatenate(hf_list[:K], axis=0)       # states BEFORE k
+    hb_stack = jnp.concatenate(hb_list[:K], axis=0)
+    ghf_all = (dot(hf_stack, we_hh_ref[0]) + be_hh_ref[0:1, :]).reshape(
+        K, B, 3 * EH)
+    ghb_all = (dot(hb_stack, we_hh_ref[1]) + be_hh_ref[1:2, :]).reshape(
+        K, B, 3 * EH)
 
+    d_gif_steps = [None] * K            # fwd dir, step k consumed pred[k]
+    d_ghf_steps = [None] * K
+    d_gib_steps = [None] * K            # bwd dir, step k consumed pred[K-1-k]
+    d_ghb_steps = [None] * K
     d_hf = d_summ_ref[:, :EH].astype(f32)
     d_hb = d_summ_ref[:, EH:].astype(f32)
     for k in range(K - 1, -1, -1):
-        # forward direction step k consumed pred[k], mask (k < lengths)
         mf = (k < lengths).astype(f32)
         hf_prev = hf_list[k]
-        _, (r, z, n, h_n) = _gru_fwd(gif_all[k], hf_prev, we_hh_ref[0],
-                                     be_hh_ref[0:1, :])
-        d_new = mf * d_hf
-        d_gi, dh_prev, d_gh = _gru_bwd(d_new, hf_prev, r, z, n, h_n,
+        _, (r, z, n, h_n) = _gru_gates(gif_all[k], ghf_all[k], hf_prev)
+        d_gi, dh_prev, d_gh = _gru_bwd(mf * d_hf, hf_prev, r, z, n, h_n,
                                        we_hh_ref[0])
-        d_pred[k] = d_pred[k] + dot(d_gi, we_ih_ref[0].T)
-        d_we[0] = d_we[0] + wgrad(pred[k], d_gi)
-        d_bi[0] = d_bi[0] + jnp.sum(d_gi, axis=0, keepdims=True)
-        d_wh[0] = d_wh[0] + wgrad(hf_prev, d_gh)
-        d_bh[0] = d_bh[0] + jnp.sum(d_gh, axis=0, keepdims=True)
+        d_gif_steps[k], d_ghf_steps[k] = d_gi, d_gh
         d_hf = (1.0 - mf) * d_hf + dh_prev
 
-        # backward direction step k consumed pred[K-1-k], mask (K-1-k < len)
         kb = K - 1 - k
         mb = (kb < lengths).astype(f32)
         hb_prev = hb_list[k]
-        _, (rb, zb, nb, h_nb) = _gru_fwd(gib_all[kb], hb_prev, we_hh_ref[1],
-                                         be_hh_ref[1:2, :])
-        d_newb = mb * d_hb
-        d_gib, dhb_prev, d_ghb = _gru_bwd(d_newb, hb_prev, rb, zb, nb, h_nb,
-                                          we_hh_ref[1])
-        d_pred[kb] = d_pred[kb] + dot(d_gib, we_ih_ref[1].T)
-        d_we[1] = d_we[1] + wgrad(pred[kb], d_gib)
-        d_bi[1] = d_bi[1] + jnp.sum(d_gib, axis=0, keepdims=True)
-        d_wh[1] = d_wh[1] + wgrad(hb_prev, d_ghb)
-        d_bh[1] = d_bh[1] + jnp.sum(d_ghb, axis=0, keepdims=True)
+        _, (rb, zb, nb, h_nb) = _gru_gates(gib_all[kb], ghb_all[k], hb_prev)
+        d_gib, dhb_prev, d_ghb = _gru_bwd(mb * d_hb, hb_prev, rb, zb, nb,
+                                          h_nb, we_hh_ref[1])
+        d_gib_steps[k], d_ghb_steps[k] = d_gib, d_ghb
         d_hb = (1.0 - mb) * d_hb + dhb_prev
 
-    d_we_ih_ref[...] += jnp.stack(d_we).astype(d_we_ih_ref.dtype)
-    d_we_hh_ref[...] += jnp.stack(d_wh).astype(d_we_hh_ref.dtype)
-    d_be_ih_ref[...] += jnp.concatenate(d_bi).astype(d_be_ih_ref.dtype)
-    d_be_hh_ref[...] += jnp.concatenate(d_bh).astype(d_be_hh_ref.dtype)
+    pred_stack = jnp.concatenate(pred, axis=0)            # (K*B, E) slot k
+    d_gif_all = jnp.concatenate(d_gif_steps, axis=0)      # slot order == step
+    d_ghf_all = jnp.concatenate(d_ghf_steps, axis=0)      # step order
+    # bwd direction: step k consumed pred[K-1-k] -> slot order = reversed
+    d_gib_slot = jnp.concatenate(d_gib_steps[::-1], axis=0)
+    d_ghb_all = jnp.concatenate(d_ghb_steps, axis=0)      # step order
+    hbk = tokens[0].shape[-1]
+    d_pred_all = (dot(d_gif_all, we_ih_ref[0].T) +
+                  dot(d_gib_slot, we_ih_ref[1].T)).reshape(K, B, hbk)
+    d_we_ih_ref[...] += jnp.stack(
+        [wgrad(pred_stack, d_gif_all),
+         wgrad(pred_stack, d_gib_slot)]).astype(d_we_ih_ref.dtype)
+    d_we_hh_ref[...] += jnp.stack(
+        [wgrad(hf_stack, d_ghf_all),
+         wgrad(hb_stack, d_ghb_all)]).astype(d_we_hh_ref.dtype)
+    d_be_ih_ref[...] += jnp.concatenate(
+        [jnp.sum(d_gif_all, axis=0, keepdims=True),
+         jnp.sum(d_gib_slot, axis=0, keepdims=True)]).astype(
+        d_be_ih_ref.dtype)
+    d_be_hh_ref[...] += jnp.concatenate(
+        [jnp.sum(d_ghf_all, axis=0, keepdims=True),
+         jnp.sum(d_ghb_all, axis=0, keepdims=True)]).astype(
+        d_be_hh_ref.dtype)
 
-    # ---- phase 2b: slot reverse sweep
-    d_gi_frame = jnp.zeros((B, 3 * nh), f32)
-    dh_next = jnp.zeros((B, nh), f32)       # d wrt h_k flowing down the chain
-    d_token = [jnp.zeros((B, tokens[0].shape[-1]), f32)
-               for _ in range(K)]           # d wrt tokens[k]
+    # ---- phase 2b: batched slot-head + duration-chain recompute AND
+    # backward. Given the phase-1 hidden states the K-1 slots' pitch heads
+    # and duration chains are mutually independent (the only cross-slot path
+    # is the note-GRU hidden chain, handled in phase 2c), so all of them run
+    # with a (K-1)*B batch: the 14x5 serial duration links collapse to 5
+    # wide steps. Per-row dot products are identical to the per-slot forward
+    # (same weights, same inputs, deterministic row-wise MXU accumulation),
+    # so the recomputed argmax decisions are bit-equal to phase 1's.
+    H_all = jnp.concatenate(hs[1:], axis=0)               # (KB, NH) slot k=1..
+    est_all = (dot(H_all, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+    pitch_ind_all = jnp.argmax(est_all.astype(f32), axis=-1).astype(jnp.int32)
+    dhid_in_all = jnp.concatenate([H_all, est_all], axis=-1)
+    hd0_all = (dot(dhid_in_all, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
 
-    gi_d_sos = (dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype),
-                    w_dih_ref[:]) + b_dih_ref[:])
+    gi_d_sos = (dot(dur_sos_ref[:].astype(dtype), w_dih_ref[:])
+                + b_dih_ref[:])                           # (1, 3DH) row
     gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
     gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
     # same combined dur weights as the forward so the recompute is bit-equal
     w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
                                  w_dout_ref[:], b_dout_ref[:])
 
+    # Only the hidden states (bf16) and the decided bits are stashed; the
+    # f32 gate tuples — the largest liveness term, 4 tensors x W steps at
+    # (KB, DH) — are recomputed in the backward loop from those stashes
+    # (same dots, same inputs => bit-exact), keeping 256-row blocks inside
+    # VMEM.
+    hds = [hd0_all]
+    bits = []
+    h_d = hd0_all
+    X = dot(hd0_all, w_dcomb) + b_dcomb
+    gi_d = jnp.broadcast_to(gi_d_sos, (KB, gi_d_sos.shape[-1]))
+    for w in range(W):
+        h_d, _ = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
+        h_d = h_d.astype(dtype)
+        hds.append(h_d)
+        X = dot(h_d, w_dcomb) + b_dcomb
+        logit = X[:, 0:2].astype(dtype)
+        bit = jnp.argmax(logit.astype(f32), axis=-1).astype(jnp.int32)
+        bits.append(bit)
+        gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
+    dur_bits_all = jnp.stack(bits, axis=-1)               # (KB, W)
+    pitch_oh_all = (col == pitch_ind_all[:, None]).astype(dtype)
+    emb_in_all = jnp.concatenate(
+        [pitch_oh_all, dur_bits_all.astype(dtype)], axis=-1)
+
+    def dur_in(w):
+        # step-w input token + its hoisted projection, rebuilt from the
+        # stashed bits. bit is {0,1}; b*row1 + (1-b)*row0 is value-exact for
+        # finite rows (the not-taken branch contributes exactly zero).
+        if w == 0:
+            return (jnp.broadcast_to(dur_sos_ref[:], (KB, W)).astype(dtype),
+                    jnp.broadcast_to(gi_d_sos, (KB, gi_d_sos.shape[-1])))
+        # i1-compare -> f32 (Mosaic cannot legalize a direct i32 sitofp)
+        b1 = (bits[w - 1][:, None] == 1).astype(f32)
+        return ((col_w == bits[w - 1][:, None]).astype(dtype),
+                b1 * gi_d_row1 + (1.0 - b1) * gi_d_row0)
+
+    # duration backward, batched over slots (feedback tokens carry no grad)
+    d_hd = jnp.zeros((KB, hds[0].shape[-1]), f32)
+    for w in range(W - 1, -1, -1):
+        d_logit = d_dur_ref[:, w].reshape(KB, 2).astype(f32)
+        add(d_w_dout_ref, wgrad(hds[w + 1], d_logit))
+        add(d_b_dout_ref, jnp.sum(d_logit, axis=0, keepdims=True))
+        d_hd = d_hd + dot(d_logit, w_dout_ref[:].T)
+        token_w, gi_d_w = dur_in(w)
+        gh_w = (dot(hds[w], w_dcomb) + b_dcomb)[:, _DUR_PAD:]
+        _, (r, z, n, h_n) = _gru_gates(gi_d_w, gh_w, hds[w])
+        d_gi_d, d_hd, d_gh_d = _gru_bwd(d_hd, hds[w], r, z, n, h_n,
+                                        w_dhh_ref[:])
+        add(d_w_dih_ref, wgrad(token_w, d_gi_d))
+        add(d_b_dih_ref, jnp.sum(d_gi_d, axis=0, keepdims=True))
+        add(d_w_dhh_ref, wgrad(hds[w], d_gh_d))
+        add(d_b_dhh_ref, jnp.sum(d_gh_d, axis=0, keepdims=True))
+        if w == 0:
+            add(d_dur_sos_ref,
+                jnp.sum(dot(d_gi_d, w_dih_ref[:].T), axis=0, keepdims=True))
+
+    # project the chains' cotangents back to the note hiddens, batched.
+    # w_dhid's weight grad is computed from the H / est halves separately:
+    # the rows of a [A | B]^T @ d product are disjoint in A and B, so this
+    # is bit-identical to wgrad(concat, d) — and it lets the (KB, NH+P)
+    # dhid_in_all concat die right after the hd0_all dot (~4.6M of VMEM
+    # liveness at 256-row blocks).
+    d_dhid_in = dot(d_hd, w_dhid_ref[:].T)                # (KB, NH + P)
+    add(d_w_dhid_ref,
+        jnp.concatenate([wgrad(H_all, d_hd), wgrad(est_all, d_hd)]))
+    add(d_b_dhid_ref, jnp.sum(d_hd, axis=0, keepdims=True))
+    d_est = d_pitch_ref[:].reshape(KB, P).astype(f32) + d_dhid_in[:, nh:]
+    add(d_w_pitch_ref, wgrad(H_all, d_est))
+    add(d_b_pitch_ref, jnp.sum(d_est, axis=0, keepdims=True))
+    dh_inj = (d_dhid_in[:, :nh] + dot(d_est, w_pitch_ref[:].T)).reshape(
+        K - 1, B, nh)
+
+    # ---- phase 2c: note-GRU reverse recurrence. Only the gate math and the
+    # d_gh @ w_hh.T dot are serially dependent; the gate-projection dots for
+    # slot k-1 issue one iteration EARLY so their latency hides behind the
+    # recurrence, and the d_token dots / weight grads ride off-path.
+    def note_gates(k):
+        return (gi_frame + dot(tokens[k - 1], w_ih_tok_ref[:]),
+                dot(hs[k - 1], w_hh_ref[:]) + b_hh_ref[:])
+
+    d_gi_frame = jnp.zeros((B, 3 * nh), f32)
+    dh_next = jnp.zeros((B, nh), f32)       # d wrt h_k flowing down the chain
+    d_token = [jnp.zeros((B, hbk), f32) for _ in range(K)]
+    gigh = note_gates(K - 1)
     for k in range(K - 1, 0, -1):
-        h_k = hs[k]
-        h_prev = hs[k - 1]
-        token_in = tokens[k - 1]
-
-        # -- recompute slot-k head values (cheap; needed for gate bwds)
-        est_pitch = (dot(h_k, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
-        pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
-                               axis=-1).astype(jnp.int32)
-        dhid_in = jnp.concatenate([h_k, est_pitch], axis=-1)
-        h_d0 = (dot(dhid_in, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
-        # the input-side projections are selects (see _run_forward), but the
-        # w_dih weight grad still needs the one-hot tokens themselves
-        token_d = jnp.broadcast_to(dur_sos_ref[:], (B, W)).astype(dtype)
-        hds = [h_d0]
-        dur_gates = []
-        dur_tokens = [token_d]
-        bits = []
-        h_d = h_d0
-        X = dot(h_d0, w_dcomb) + b_dcomb
-        gi_d = gi_d_sos
-        for w in range(W):
-            h_d, g = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
-            h_d = h_d.astype(dtype)
-            hds.append(h_d)
-            dur_gates.append(g)
-            X = dot(h_d, w_dcomb) + b_dcomb
-            logit = X[:, 0:2].astype(dtype)
-            bit = jnp.argmax(logit.astype(jnp.float32),
-                             axis=-1).astype(jnp.int32)
-            bits.append(bit)
-            gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
-            dur_tokens.append((col_w == bit[:, None]).astype(dtype))
-        dur_bits = jnp.stack(bits, axis=-1)
-        pitch_oh = (col == pitch_ind[:, None]).astype(dtype)
-
-        # -- gradient wrt emb_k: token select + summary cotangent
-        coin = coins_ref[k - 1, 0] != 0
-        d_tok_k = d_token[k]
-        d_emb = d_pred[k] + jnp.where(coin, 0.0, d_tok_k)
-        d_x_emb_ref[k] += jnp.where(coin, d_tok_k, 0.0).astype(
-            d_x_emb_ref.dtype)
-        add(d_w_emb_ref, wgrad(jnp.concatenate(
-            [pitch_oh, dur_bits.astype(dtype)], axis=-1), d_emb))
-        add(d_b_emb_ref, jnp.sum(d_emb, axis=0, keepdims=True))
-
-        # -- duration chain backward (feedback tokens carry no grad)
-        d_hd = jnp.zeros((B, hds[0].shape[-1]), f32)
-        for w in range(W - 1, -1, -1):
-            d_logit = d_dur_ref[k - 1, w].astype(f32)
-            add(d_w_dout_ref, wgrad(hds[w + 1], d_logit))
-            add(d_b_dout_ref, jnp.sum(d_logit, axis=0, keepdims=True))
-            d_hd = d_hd + dot(d_logit, w_dout_ref[:].T)
-            r, z, n, h_n = dur_gates[w]
-            d_gi_d, d_hd, d_gh_d = _gru_bwd(d_hd, hds[w], r, z, n, h_n,
-                                            w_dhh_ref[:])
-            add(d_w_dih_ref, wgrad(dur_tokens[w], d_gi_d))
-            add(d_b_dih_ref, jnp.sum(d_gi_d, axis=0, keepdims=True))
-            add(d_w_dhh_ref, wgrad(hds[w], d_gh_d))
-            add(d_b_dhh_ref, jnp.sum(d_gh_d, axis=0, keepdims=True))
-            if w == 0:
-                add(d_dur_sos_ref,
-                    jnp.sum(dot(d_gi_d, w_dih_ref[:].T), axis=0,
-                            keepdims=True))
-        # h_d0 inputs: one transpose dot, cotangent split at the h/pitch seam
-        d_dhid_in = dot(d_hd, w_dhid_ref[:].T)              # (B, NH + P)
-        d_est = d_pitch_ref[k - 1].astype(f32) + d_dhid_in[:, nh:]
-        dh_k = dh_next + d_dhid_in[:, :nh]
-        add(d_w_dhid_ref, wgrad(dhid_in, d_hd))
-        add(d_b_dhid_ref, jnp.sum(d_hd, axis=0, keepdims=True))
-
-        # -- pitch head backward
-        add(d_w_pitch_ref, wgrad(h_k, d_est))
-        add(d_b_pitch_ref, jnp.sum(d_est, axis=0, keepdims=True))
-        dh_k = dh_k + dot(d_est, w_pitch_ref[:].T)
-
-        # -- note-GRU cell backward (recompute gates from h_prev, token_in)
-        gi = gi_frame + dot(token_in, w_ih_tok_ref[:])
-        _, (r, z, n, h_n) = _gru_fwd(gi, h_prev, w_hh_ref[:], b_hh_ref[:])
-        d_gi, dh_prev, d_gh = _gru_bwd(dh_k, h_prev, r, z, n, h_n,
+        gi_k, gh_k = gigh
+        if k > 1:
+            gigh = note_gates(k - 1)
+        _, (r, z, n, h_n) = _gru_gates(gi_k, gh_k, hs[k - 1])
+        dh_k = dh_next + dh_inj[k - 1]
+        d_gi, dh_prev, d_gh = _gru_bwd(dh_k, hs[k - 1], r, z, n, h_n,
                                        w_hh_ref[:])
-        add(d_w_hh_ref, wgrad(h_prev, d_gh))
+        add(d_w_hh_ref, wgrad(hs[k - 1], d_gh))
         add(d_b_hh_ref, jnp.sum(d_gh, axis=0, keepdims=True))
-        add(d_w_ih_tok_ref, wgrad(token_in, d_gi))
+        add(d_w_ih_tok_ref, wgrad(tokens[k - 1], d_gi))
         d_gi_frame = d_gi_frame + d_gi
-        d_token[k - 1] = d_token[k - 1] + dot(d_gi, w_ih_tok_ref[:].T)
+        d_token[k - 1] = dot(d_gi, w_ih_tok_ref[:].T)
         dh_next = dh_prev
 
-    # token0 == x_emb[:, 0] == pred[0]; collects the slot-1 token path AND
-    # the summary's d_pred[0]
-    d_x_emb_ref[0] += (d_token[0] + d_pred[0]).astype(d_x_emb_ref.dtype)
+    # ---- phase 2d: emb grads + x_emb cotangents, batched over slots.
+    # emb_k feeds the summary (d_pred) and, when the coin keeps the model
+    # token, the next slot's input (d_token); the ground-truth branch routes
+    # d_token into d_x_emb instead. Slot 0's token IS x_emb[:, 0].
+    d_emb_rows = []
+    d_x_rows = [(d_token[0] + d_pred_all[0]).astype(d_x_emb_ref.dtype)]
+    for k in range(1, K):
+        coin = coins_ref[k - 1, 0] != 0
+        d_tok_k = d_token[k]
+        d_emb_rows.append(d_pred_all[k] + jnp.where(coin, 0.0, d_tok_k))
+        d_x_rows.append(jnp.where(coin, d_tok_k, 0.0).astype(
+            d_x_emb_ref.dtype))
+    d_emb_all = jnp.concatenate(d_emb_rows, axis=0)       # (KB, E) slot k=1..
+    add(d_w_emb_ref, wgrad(emb_in_all, d_emb_all))
+    add(d_b_emb_ref, jnp.sum(d_emb_all, axis=0, keepdims=True))
+    d_x_emb_ref[...] = jnp.stack(d_x_rows)
 
     # h0 and gi_frame inputs
     add(d_w_t2n_ref, wgrad(frame_h, dh_next))
@@ -551,6 +602,16 @@ def _pick_block(B: int) -> int:
     if B % 256 == 0:
         return 256
     return 128     # minimizes padding for non-divisible batches
+
+
+def _pick_block_bwd(B: int) -> int:
+    # The slot-batched backward (phases 2a/2b/2d) keeps (K-1)*bt-row
+    # intermediates live at once. With the f32 dur-chain gate tuples
+    # recomputed in the backward loop instead of stashed (the largest
+    # liveness term), 256-row blocks fit VMEM; stashing them spilled ~96M
+    # of vector registers and exceeded the 128M space by ~10M (measured on
+    # v5e).
+    return _pick_block(B)
 
 
 def _pad_rows(a, axis: int, Bp: int):
@@ -632,7 +693,7 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
               d_pitch, d_dur, d_summ, interpret):
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
-    bt = _pick_block(B)
+    bt = _pick_block_bwd(B)
     Bp = -(-B // bt) * bt               # pad batch to a block multiple
     grid = (Bp // bt,)
     E = x_emb_t.shape[-1]
@@ -661,8 +722,10 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     outs = pl.pallas_call(
         kernel, grid=grid, out_shape=tuple(out_shape),
         in_specs=in_specs, out_specs=tuple(out_specs), interpret=interpret,
+        # the slot-batched backward sits right at the VMEM ceiling at
+        # 256-row blocks — grant it the full space (measured 123M peak)
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=128 * 1024 * 1024),
     )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_summ)
     d_frame_h, d_x_emb = outs[0][:B], jnp.swapaxes(outs[1][:, :B], 0, 1)
     d_weights = tuple(g.astype(w.dtype)
