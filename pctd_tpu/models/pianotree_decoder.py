@@ -127,10 +127,19 @@ def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
     note scan inside the time scan, and unrolling it multiplies the program
     size of everything above it.
     """
-    B = note_h.shape[0]
-    W = spec.dur_width
     h0 = dense_apply(p["dur_hid"], jnp.concatenate([note_h, est_pitch], -1))
-    token0 = jnp.broadcast_to(p["dur_sos"], (B, W)).astype(note_h.dtype)
+    return _decode_dur_from_h0(p, h0, spec, unroll)
+
+
+def _decode_dur_from_h0(p: dict, h0: jnp.ndarray, spec: PianoTreeSpec,
+                        unroll: int = 1
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Duration chain from a precomputed initial hidden (the folded
+    inference path computes ``h0`` with the pitch head pre-multiplied into
+    ``dur_hid`` — see :func:`fold_inference_heads`)."""
+    B = h0.shape[0]
+    W = spec.dur_width
+    token0 = jnp.broadcast_to(p["dur_sos"], (B, W)).astype(h0.dtype)
 
     def step(carry, _):
         h, token = carry
@@ -138,7 +147,7 @@ def _decode_dur(p: dict, note_h: jnp.ndarray, est_pitch: jnp.ndarray,
                          token @ p["dur_gru"].w_ih + p["dur_gru"].b_ih, h)
         out = dense_apply(p["dur_out"], h)                  # (B, 2)
         ind = jnp.argmax(out, -1)
-        token = jax.nn.one_hot(ind, W, dtype=note_h.dtype)
+        token = jax.nn.one_hot(ind, W, dtype=h0.dtype)
         return (h, token), (out, ind)
 
     (_, _), (logits, bits) = jax.lax.scan(step, (h0, token0), None, length=W,
@@ -154,6 +163,41 @@ def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,
     return jnp.concatenate([pitch_oh, dur_bits.astype(jnp.float32)], axis=-1)
 
 
+def fold_inference_heads(p: dict, cfg: ModelConfig) -> dict:
+    """Serial-path weight folds for the autoregressive inference decode.
+
+    Two head compositions on the per-slot dependence chain are linear maps
+    of values already on the chain, so their weights pre-multiply:
+
+    - dur-hidden init: ``[h, est] @ w_dhid`` with ``est = h @ w_p + b_p``
+      folds to ``h @ (w_dhid[:nh] + w_p @ w_dhid[nh:]) + const`` — the
+      pitch-head dot leaves the h -> dur-chain dependence chain (it still
+      runs, for the pitch argmax, but overlaps the duration chain).
+    - token feedback: the next slot's notes-GRU input projection
+      ``emb @ w_tok`` with ``emb = raw @ w_emb + b_emb`` folds to
+      ``raw @ (w_emb @ w_tok) + const`` — the embedding dot leaves the
+      dur-bits -> next-slot chain (the embeddings themselves are computed
+      once per frame in one batched dot, only for the summary bi-GRU).
+
+    Mathematically identical regroupings; the f32 bit patterns differ, so
+    EVERY decode backend (XLA scan, ar_decoder, full_decoder) applies the
+    same folds to stay mutually bit-exact (see decode_grid's precision
+    note). Inference-only: the training/teacher-forced path keeps the
+    reference grouping (and the oracle-parity tests exercise it unfolded).
+    """
+    nh = cfg.dec_notes_hidden
+    th = cfg.dec_time_hidden
+    w_dhid, b_dhid = p["dur_hid"]["w"], p["dur_hid"]["b"]
+    w_p, b_p = p["pitch_out"]["w"], p["pitch_out"]["b"]
+    w_tok = p["notes_gru"].w_ih[th:]
+    return {
+        "w_dhid_eff": w_dhid[:nh] + w_p @ w_dhid[nh:],
+        "b_dhid_eff": b_dhid + b_p @ w_dhid[nh:],
+        "w_raw_gi": p["note_emb"]["w"] @ w_tok,       # (note_size, 3NH)
+        "b_raw_gi": p["note_emb"]["b"] @ w_tok,       # (3NH,)
+    }
+
+
 # ---------------------------------------------------------------------------
 # note level
 # ---------------------------------------------------------------------------
@@ -161,7 +205,8 @@ def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,
 def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
                   x_emb_t: Optional[jnp.ndarray],
                   coins2_t: Optional[jnp.ndarray], sos_emb: jnp.ndarray,
-                  unroll: Tuple[int, int] = (1, 1)):
+                  unroll: Tuple[int, int] = (1, 1),
+                  folds: Optional[dict] = None):
     """Decode the <=K notes of one frame (reference ptvae.py:370-428).
 
     frame_h:  (B, time_hidden) — the time-GRU hidden for this frame
@@ -191,6 +236,42 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
     else:
         gt_next = jnp.zeros((K - 1, B, emb_dim), frame_h.dtype)
         coins = jnp.zeros((K - 1,), bool)
+
+    if folds is not None:
+        assert x_emb_t is None, "head folds are inference-only"
+        # folded chain: the carry holds the raw token's gi projection
+        # directly; pitch head and note embedding run off the dependence
+        # chain (see fold_inference_heads)
+        sos_raw = sos_token_raw(spec).astype(sos_emb.dtype)
+        gi_frame_f = gi_frame + folds["b_raw_gi"]
+        gi_tok0 = jnp.broadcast_to(sos_raw @ folds["w_raw_gi"],
+                                   (B, gi_frame.shape[-1]))
+
+        def step_f(carry, k):
+            h, gi_tok, length = carry
+            h = gru_cell_pre(p["notes_gru"], gi_frame_f + gi_tok, h)
+            est_pitch = dense_apply(p["pitch_out"], h)
+            h_d0 = h @ folds["w_dhid_eff"] + folds["b_dhid_eff"]
+            dur_logits, dur_bits = _decode_dur_from_h0(p, h_d0, spec,
+                                                       unroll=unroll[1])
+            pitch_ind = jnp.argmax(est_pitch, -1)
+            raw = _pred_note_raw(pitch_ind, dur_bits, spec).astype(
+                p["note_emb"]["w"].dtype)
+            is_eos = (pitch_ind == spec.pitch_eos) & (length == 0)
+            length = jnp.where(is_eos, k, length)
+            return (h, raw @ folds["w_raw_gi"], length), (
+                est_pitch, dur_logits, raw)
+
+        ks = jnp.arange(1, K, dtype=jnp.int32)
+        init = (hid0, gi_tok0, jnp.zeros((B,), jnp.int32))
+        (_, _, lengths), (pitch_o, dur_o, raws) = jax.lax.scan(
+            step_f, init, ks, unroll=unroll[0])
+        lengths = jnp.where(lengths == 0, K - 1, lengths)
+        pred_embs = dense_apply(p["note_emb"], raws)        # (K-1, B, emb)
+        pred_notes = jnp.concatenate(
+            [token0[:, None], jnp.swapaxes(pred_embs, 0, 1)], axis=1)
+        return (jnp.swapaxes(pitch_o, 0, 1), jnp.swapaxes(dur_o, 0, 1),
+                pred_notes, lengths)
 
     def step(carry, inp):
         h, token, length = carry
@@ -228,12 +309,17 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
            x_emb: Optional[jnp.ndarray] = None,
            lengths: Optional[jnp.ndarray] = None,
            coins1: Optional[jnp.ndarray] = None,
-           coins2: Optional[jnp.ndarray] = None) -> DecoderOutput:
+           coins2: Optional[jnp.ndarray] = None,
+           fold_heads: bool = False) -> DecoderOutput:
     """Full decode (reference ptvae.py:430-491).
 
     z: (B, z_dim). Teacher-forced mode: pass x_emb (B, T, K, emb) +
     lengths (B, T) + coins1 (T,) + coins2 (T, K). Inference: leave them None
     (pure argmax-feedback autoregression, == tfr1 = tfr2 = 0 with no gt).
+    ``fold_heads`` (inference only) applies the serial-path weight folds of
+    :func:`fold_inference_heads` — the serving configuration, matching the
+    Pallas decode kernels bit-for-bit; leave False for reference-grouping
+    logits (the oracle-parity configuration).
     """
     spec = cfg.pianotree
     B = z.shape[0]
@@ -299,6 +385,9 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                 cfg, interp, core_w, h, x_emb_t, coins)
             return pitch_o, dur_o, pred_summary
     else:
+        folds = fold_inference_heads(p, cfg) \
+            if (fold_heads and inference) else None
+
         def frame_fn(pp, h, x_emb_t, c2_t, sos_e):
             """One frame's note+dur decode + predicted-frame summary.
             Wrapped in jax.checkpoint when cfg.remat_frames: the backward
@@ -308,7 +397,7 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
             B=1024 bf16 without remat)."""
             pitch_o, dur_o, pred_notes, pred_lens = _decode_notes(
                 pp, spec, h, x_emb_t, c2_t, sos_e,
-                unroll=(cfg.unroll_notes, cfg.unroll_dur))
+                unroll=(cfg.unroll_notes, cfg.unroll_dur), folds=folds)
             pred_summary = bigru_last_masked(pp["emb_fwd"], pp["emb_bwd"],
                                              pred_notes, pred_lens)
             return pitch_o, dur_o, pred_summary
@@ -416,7 +505,7 @@ def decode_grid(p: dict, cfg: ModelConfig, z: jnp.ndarray,
 def _decode_grid_inner(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                        frame_decoder: str, interpret: bool) -> jnp.ndarray:
     if frame_decoder == "xla":
-        return output_to_grid(decode(p, cfg, z))
+        return output_to_grid(decode(p, cfg, z, fold_heads=True))
     if frame_decoder == "pallas_full":
         from pctd_tpu.ops.pallas import decode_grid_fused
 

@@ -9,28 +9,30 @@ pitch head + 5-step dur chain + embedding) + masked bi-GRU summary feedback)
 execute back-to-back on-chip, and the only HBM traffic is z-derived inputs
 in and the (T, B, K-1) grids out.
 
-Round-2 redesign of the serial chain (the decode is dependency-latency
-bound: ~12.7k tiny dependent dots at ~8 us each dominated the 104 ms round-1
-time, not FLOPs):
+Serial-chain design (the decode is dependency-latency bound: ~12.7k tiny
+dependent dots at ~8 us each dominated the 104 ms round-1 time, not FLOPs):
 
 - the 5-wide duration-token projections are GONE: the sos projection is one
   dot hoisted to kernel start, and the post-sos token is one-hot over {0,1},
-  so its projection IS row 0 or 1 of (w_dih + b_dih) — a jnp.where select,
-  bit-exact vs the matmul (one-hot x w sums exact zeros). Removes
-  4 x 15 x 32 = 1920 chain dots.
-- dur-hidden init and note embedding use the SAME single concatenated
-  matmuls as the XLA path (`[h, est_pitch] @ w_dhid`, `[pitch_oh, dur_bits]
-  @ w_emb`) instead of split dots — one dot fewer each per slot AND the
-  f32 accumulation grouping now matches the XLA scans exactly (the split
-  grouping was the source of pallas_full's round-1 ~0.3% on-device argmax
-  divergence: ulp-level emb differences compounded down the slot chain).
+  so its projection IS row 0 or 1 of (w_dih + b_dih) — a select, bit-exact
+  vs the matmul (one-hot x w sums exact zeros).
+- each dur step is ONE combined dot yielding (logit_w, gh_{w+1}) — see
+  ar_decoder.dur_comb_weights.
+- the per-slot chain carries the serving weight folds of
+  pianotree_decoder.fold_inference_heads (identical in every backend so the
+  backends stay mutually bit-exact): the dur-hid init is ONE dot from h
+  with the pitch head pre-multiplied (the pitch dot overlaps the dur
+  chain), and the token feedback is one dot off the raw one-hot with the
+  embedding pre-multiplied (the embeddings for the summary run once per
+  frame in ONE batched (K*B)-row dot).
 - the summary bi-GRU's 2 x 16 per-slot input projections collapse into one
   (K*B, E) @ (E, 3EH) dot per direction per frame (the serial part keeps
   only the 2 x 16 hidden-side dots).
 
-Semantics identical to pianotree_decoder.decode(p, cfg, z) inference mode
-(reference ptvae.py:430-491 with argmax feedback): verified vs the XLA path
-in interpret mode and on device (tests/test_pallas_decoder.py).
+Semantics identical to pianotree_decoder.decode(p, cfg, z,
+fold_heads=True) inference mode (reference ptvae.py:430-491 with argmax
+feedback): verified vs the XLA path in interpret mode and on device
+(tests/test_pallas_decoder.py).
 
 VMEM budget (canonical dims, f32): ~27 MB of weights + ~2 MB activations at
 B=128 — comfortable on a v5e core (~128 MB). The time loop is a
@@ -40,7 +42,6 @@ unrolled straight-line code.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,18 +50,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
 from pctd_tpu.ops.pallas.ar_decoder import (_DUR_PAD, _gru, _gru_pre,
-                                            _row_select, dur_comb_weights)
+                                            _row_select,
+                                            folded_frame_weights)
 from pctd_tpu.utils.init import dense_apply
 
 
 def _full_kernel(spec: PianoTreeSpec, T: int,
-                 h0_ref, gi_z_ref, token0_ref, sos_emb_ref,
+                 h0_ref, gi_z_ref, token0_ref, sos_emb_ref, sos_raw_ref,
                  wt_tok_ref, wt_hh_ref, bt_hh_ref,
                  w_t2n_ref, b_t2n_ref,
-                 w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
+                 w_ih_frame_ref, b_ih_ref,
                  w_hh_ref, b_hh_ref,
                  w_pitch_ref, b_pitch_ref,
-                 w_dhid_ref, b_dhid_ref,
+                 w_dhid_eff_ref, b_dhid_eff_ref,
+                 w_raw_gi_ref, b_raw_gi_ref,
                  w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
                  w_emb_ref, b_emb_ref, dur_sos_ref,
                  we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
@@ -84,33 +87,34 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
     gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]          # (1, 3DH)
     gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
 
+    # slot-1 token projection: the sos raw feature through the folded
+    # raw -> gi weights; constant across frames, hoisted out of the loop
+    gi_tok_sos = dot(sos_raw_ref[:], w_raw_gi_ref[:])      # (1, 3NH)
+
     def frame(t, h_time):
         """One frame's note+dur decode; writes outputs at time t, returns
         the masked bi-GRU summary of the predicted notes."""
         hid = dot(h_time, w_t2n_ref[:]) + b_t2n_ref[:]
-        gi_frame = dot(h_time, w_ih_frame_ref[:]) + b_ih_ref[:]
-        token = sos_emb
+        gi_frame = (dot(h_time, w_ih_frame_ref[:]) + b_ih_ref[:]
+                    + b_raw_gi_ref[:])
         lengths = jnp.zeros((B, 1), jnp.int32)
-        pred_notes = [token]
+        gi_tok = jnp.broadcast_to(gi_tok_sos, (B, gi_frame.shape[-1]))
 
         h = hid
         gh = dot(hid, w_hh_ref[:]) + b_hh_ref[:]
+        raws = []
         for k in range(1, K):
-            gi = gi_frame + dot(token, w_ih_tok_ref[:])
-            h = _gru_pre(gi, gh, h)
+            h = _gru_pre(gi_frame + gi_tok, gh, h)
             # next slot's hidden projection issues HERE — it depends only
             # on h, so it overlaps the dur chain instead of sitting between
             # token_k and the slot-(k+1) gates on the serial path
             gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
+            # pitch head: off the chain (folded out of the dur-hid init)
             est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]
             pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
 
-            # [h, est_pitch] @ w_dhid in ONE dot (same grouping as the XLA
-            # path's dense over the concat, pianotree_decoder.py:132); each
-            # dur step is ONE combined dot yielding (logit_w, gh_{w+1}) —
-            # see ar_decoder.dur_comb_weights
-            h_d = dot(jnp.concatenate([h, est_pitch], axis=-1),
-                      w_dhid_ref[:]) + b_dhid_ref[:]
+            # dur-hid init in ONE dot from h (pitch head pre-multiplied)
+            h_d = dot(h, w_dhid_eff_ref[:]) + b_dhid_eff_ref[:]
             X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
             gi_d = gi_d_sos
             bits = []
@@ -126,11 +130,10 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
             dur_bits = jnp.stack(bits, axis=-1)
 
             pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
-            # [pitch_oh, dur_bits] @ w_emb in ONE dot (XLA grouping,
-            # pianotree_decoder.py:154 + emb dense)
-            emb = dot(jnp.concatenate(
-                [pitch_oh, dur_bits.astype(h.dtype)], axis=-1),
-                w_emb_ref[:]) + b_emb_ref[:]
+            raw = jnp.concatenate(
+                [pitch_oh, dur_bits.astype(h.dtype)], axis=-1)
+            # next token's gi in ONE dot (embedding folded out of the chain)
+            gi_tok = dot(raw, w_raw_gi_ref[:])
 
             # outputs are laid out rows-first — (T*(K-1), B) and
             # (T*(K-1)*W, B) — so the (8, 128)-tiled trailing dims stay
@@ -139,17 +142,22 @@ def _full_kernel(spec: PianoTreeSpec, T: int,
             slot = t * (K - 1) + (k - 1)
             pitch_idx_ref[pl.ds(slot, 1), :] = pitch_ind[None]
             dur_bits_ref[pl.ds(slot * W, W), :] = dur_bits.T
-            pred_notes.append(emb)
+            raws.append(raw)
             is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
             lengths = jnp.where(is_eos, k, lengths)
-            token = emb
 
         lengths = jnp.where(lengths == 0, K - 1, lengths)
         EH = we_hh_ref.shape[1]
+        # predicted-note embeddings for the summary: ONE batched dot for
+        # all K-1 slots (off the slot chain; slot 0's token is sos_emb).
+        # [sos rows | emb rows] IS the (K, B, E) slot-major layout, so the
+        # summary's flat input is one concatenate — no per-slot restacking.
+        raw_flat = jnp.stack(raws).reshape((K - 1) * B, raws[0].shape[-1])
+        emb_flat = dot(raw_flat, w_emb_ref[:]) + b_emb_ref[:]
         # input projections of ALL slots in one dot per direction; the
         # serial chain keeps only the hidden-side dots
-        notes_kbe = jnp.stack(pred_notes)                  # (K, B, E)
-        flat = notes_kbe.reshape(K * B, notes_kbe.shape[-1])
+        flat = jnp.concatenate(
+            [sos_emb.astype(emb_flat.dtype), emb_flat], axis=0)
         gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
             K, B, 3 * EH)
         gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
@@ -189,7 +197,6 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     B = z.shape[0]
     T = spec.num_step
     K, W = spec.max_simu_note, spec.dur_width
-    th = cfg.dec_time_hidden
 
     from pctd_tpu.models.pianotree_decoder import sos_token_raw
 
@@ -198,33 +205,17 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     sos_emb = dense_apply(p["note_emb"],
                           sos_token_raw(spec).astype(p["note_emb"]["w"].dtype))
     sos_emb = jnp.broadcast_to(sos_emb, (B, sos_emb.shape[-1]))
+    sos_raw = sos_token_raw(spec).astype(h0.dtype).reshape(1, -1)
     token0 = jnp.broadcast_to(p["init_input"], (B, p["init_input"].shape[-1]))
     tok_dim = token0.shape[-1]
     tg = p["time_gru"]
     gi_z = z_in @ tg.w_ih[tok_dim:] + tg.b_ih
-
-    ng = p["notes_gru"]
-    dg = p["dur_gru"]
     row = lambda b: b.reshape(1, -1)
 
     args = (
-        h0, gi_z, token0, sos_emb,
+        h0, gi_z, token0, sos_emb, sos_raw,
         tg.w_ih[:tok_dim], tg.w_hh, row(tg.b_hh),
-        p["time2notes"]["w"], row(p["time2notes"]["b"]),
-        ng.w_ih[:th], ng.w_ih[th:], row(ng.b_ih),
-        ng.w_hh, row(ng.b_hh),
-        p["pitch_out"]["w"], row(p["pitch_out"]["b"]),
-        p["dur_hid"]["w"], row(p["dur_hid"]["b"]),
-        dg.w_ih, row(dg.b_ih),
-        *dur_comb_weights(dg.w_hh, row(dg.b_hh),
-                          p["dur_out"]["w"], row(p["dur_out"]["b"])),
-        p["note_emb"]["w"], row(p["note_emb"]["b"]),
-        row(p["dur_sos"]),
-        jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
-        jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),
-        jnp.stack([p["emb_fwd"].b_ih, p["emb_bwd"].b_ih]),
-        jnp.stack([p["emb_fwd"].b_hh, p["emb_bwd"].b_hh]),
-    )
+    ) + folded_frame_weights(p, cfg)
 
     kernel = functools.partial(_full_kernel, spec, T)
     out_shapes = (

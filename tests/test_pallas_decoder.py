@@ -32,9 +32,10 @@ def test_frame_kernel_matches_xla_decode_notes():
         p["note_emb"], ptd.sos_token_raw(spec))
     sos_emb = jnp.broadcast_to(sos_emb, (B, cfg.note_emb_size))
 
-    # XLA inference path for one frame
+    # XLA inference path for one frame (serving folds — the kernel's math)
     pitch_o, dur_o, pred_notes, lengths = ptd._decode_notes(
-        p, spec, h_time, None, None, sos_emb)
+        p, spec, h_time, None, None, sos_emb,
+        folds=ptd.fold_inference_heads(p, cfg))
     from pctd_tpu.ops import bigru_last_masked
     summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"], pred_notes,
                                 lengths)
@@ -49,6 +50,24 @@ def test_frame_kernel_matches_xla_decode_notes():
     np.testing.assert_array_equal(np.asarray(k_len), np.asarray(lengths))
     np.testing.assert_allclose(np.asarray(k_summary), np.asarray(summary),
                                atol=2e-5)
+
+
+def test_fold_inference_heads_is_value_equivalent():
+    """The serving weight folds (fold_inference_heads) are mathematical
+    regroupings: folded and unfolded XLA decodes must agree to float
+    round-off on logits (and, on this model, exactly on the argmax grid)."""
+    cfg = SMALL
+    params = ptd.init(jax.random.PRNGKey(2), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(3), (3, cfg.z_dim))
+    plain = ptd.decode(params, cfg, z)
+    folded = ptd.decode(params, cfg, z, fold_heads=True)
+    np.testing.assert_allclose(np.asarray(folded.pitch_logits),
+                               np.asarray(plain.pitch_logits), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(folded.dur_logits),
+                               np.asarray(plain.dur_logits), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(ptd.output_to_grid(folded)),
+        np.asarray(ptd.output_to_grid(plain)))
 
 
 def test_decode_grid_pallas_matches_xla():
