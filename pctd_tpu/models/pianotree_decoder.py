@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
-from pctd_tpu.ops import (gru_init, gru_cell_pre, bigru_last_masked)
+from pctd_tpu.ops import (gru_init, gru_cell_pre, gru_gates_pre,
+                          bigru_last_masked)
 from pctd_tpu.ops.losses import cross_entropy_ignore
 from pctd_tpu.utils.init import dense_params, dense_apply, free_param
 
@@ -155,6 +156,44 @@ def _decode_dur_from_h0(p: dict, h0: jnp.ndarray, spec: PianoTreeSpec,
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(bits, 0, 1)
 
 
+def _decode_dur_folded(p: dict, folds: dict, h_d0: jnp.ndarray,
+                       X0: jnp.ndarray, acc0: jnp.ndarray,
+                       spec: PianoTreeSpec):
+    """Kernel-mirroring folded duration chain.
+
+    Each step consumes the previous step's combined projection
+    ``X = [logit | pad | gru-hidden gates]`` (train_frame._dur_comb layout)
+    and emits the next with ONE dot; ``X0`` comes pre-multiplied from the
+    note hidden (fold_inference_heads.w_dx0). The token-feedback
+    accumulator ``acc`` picks up ``bit_w * w_dur_gi[w]`` as each bit is
+    decided, so the feedback needs no dot at chain end. Bit-exact twin of
+    the Pallas kernels' chain (ar_decoder/full_decoder slot loop).
+
+    Returns (dur_logits (B, W, 2), dur_bits (B, W) i32, acc (B, 3NH)).
+    """
+    from pctd_tpu.ops.pallas.train_frame import _DUR_PAD
+
+    B = h_d0.shape[0]
+    W = spec.dur_width
+    dg = p["dur_gru"]
+    gi_d = (jnp.broadcast_to(p["dur_sos"], (B, W)).astype(h_d0.dtype)
+            @ dg.w_ih + dg.b_ih)
+    row0 = dg.w_ih[0:1] + dg.b_ih
+    row1 = dg.w_ih[1:2] + dg.b_ih
+    h_d, X, acc = h_d0, X0, acc0
+    logits, bits = [], []
+    for w in range(W):
+        h_d = gru_gates_pre(gi_d, X[:, _DUR_PAD:], h_d)
+        X = h_d @ folds["w_dcomb"] + folds["b_dcomb"]
+        logit = X[:, 0:2]
+        bitf = (logit[:, 1:2] > logit[:, 0:1]).astype(jnp.float32)
+        logits.append(logit)
+        bits.append(bitf[:, 0].astype(jnp.int32))
+        acc = acc + bitf * folds["w_dur_gi"][w:w + 1]
+        gi_d = bitf * row1 + (1.0 - bitf) * row0
+    return (jnp.stack(logits, axis=1), jnp.stack(bits, axis=1), acc)
+
+
 def _pred_note_raw(pitch_ind: jnp.ndarray, dur_bits: jnp.ndarray,
                    spec: PianoTreeSpec) -> jnp.ndarray:
     """Predicted (pitch argmax, dur digits) -> raw note feature
@@ -179,21 +218,56 @@ def fold_inference_heads(p: dict, cfg: ModelConfig) -> dict:
       dur-bits -> next-slot chain (the embeddings themselves are computed
       once per frame in one batched dot, only for the summary bi-GRU).
 
+    Two more serial-path regroupings ride the same folds:
+
+    - the first dur-chain combined projection (logit | gru-hidden gates,
+      train_frame._dur_comb layout) is itself linear in ``h``:
+      ``X0 = h_d0 @ w_dcomb`` with ``h_d0 = h @ w_dhid_eff + b`` folds to
+      ``X0 = h @ (w_dhid_eff @ w_dcomb) + const`` — the X0 dot issues
+      straight from ``h``, in parallel with the ``h_d0`` dot, instead of
+      after it.
+    - the token-feedback dot decomposes: the raw note token is
+      ``[one_hot(pitch) | dur bits]``, so ``raw @ w_raw_gi`` is the pitch
+      row (one dot off the dur chain, issued as soon as the pitch argmax
+      lands) plus ``bit_w * w_raw_gi[P + w]`` multiply-adds accumulated AS
+      the dur bits are produced — the chain's last link becomes one VPU
+      multiply-add instead of an MXU dot.
+
     Mathematically identical regroupings; the f32 bit patterns differ, so
     EVERY decode backend (XLA scan, ar_decoder, full_decoder) applies the
     same folds to stay mutually bit-exact (see decode_grid's precision
     note). Inference-only: the training/teacher-forced path keeps the
     reference grouping (and the oracle-parity tests exercise it unfolded).
     """
+    from pctd_tpu.ops.pallas.train_frame import _dur_comb
+
     nh = cfg.dec_notes_hidden
     th = cfg.dec_time_hidden
+    P = cfg.pianotree.pitch_range
     w_dhid, b_dhid = p["dur_hid"]["w"], p["dur_hid"]["b"]
     w_p, b_p = p["pitch_out"]["w"], p["pitch_out"]["b"]
     w_tok = p["notes_gru"].w_ih[th:]
+    w_dhid_eff = w_dhid[:nh] + w_p @ w_dhid[nh:]
+    b_dhid_eff = b_dhid + b_p @ w_dhid[nh:]
+    dg = p["dur_gru"]
+    w_dcomb, b_dcomb = _dur_comb(dg.w_hh, dg.b_hh.reshape(1, -1),
+                                 p["dur_out"]["w"],
+                                 p["dur_out"]["b"].reshape(1, -1))
+    w_raw_gi = p["note_emb"]["w"] @ w_tok             # (note_size, 3NH)
     return {
-        "w_dhid_eff": w_dhid[:nh] + w_p @ w_dhid[nh:],
-        "b_dhid_eff": b_dhid + b_p @ w_dhid[nh:],
-        "w_raw_gi": p["note_emb"]["w"] @ w_tok,       # (note_size, 3NH)
+        "w_dhid_eff": w_dhid_eff,
+        "b_dhid_eff": b_dhid_eff,
+        # first dur-chain combined projection, pre-multiplied through the
+        # dur-hid init (NH -> 2 | pad | 3DH)
+        "w_dx0": w_dhid_eff @ w_dcomb,
+        "b_dx0": (b_dhid_eff @ w_dcomb + b_dcomb)[0],
+        "w_dcomb": w_dcomb,
+        "b_dcomb": b_dcomb,
+        # raw-token -> notes-GRU input projection, split at the pitch/dur
+        # boundary for the decomposed feedback accumulation
+        "w_pitch_gi": w_raw_gi[:P],                   # (P, 3NH)
+        "w_dur_gi": w_raw_gi[P:],                     # (W, 3NH)
+        "w_raw_gi": w_raw_gi,
         "b_raw_gi": p["note_emb"]["b"] @ w_tok,       # (3NH,)
     }
 
@@ -251,16 +325,22 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
             h, gi_tok, length = carry
             h = gru_cell_pre(p["notes_gru"], gi_frame_f + gi_tok, h)
             est_pitch = dense_apply(p["pitch_out"], h)
-            h_d0 = h @ folds["w_dhid_eff"] + folds["b_dhid_eff"]
-            dur_logits, dur_bits = _decode_dur_from_h0(p, h_d0, spec,
-                                                       unroll=unroll[1])
             pitch_ind = jnp.argmax(est_pitch, -1)
-            raw = _pred_note_raw(pitch_ind, dur_bits, spec).astype(
+            pitch_oh = jax.nn.one_hot(pitch_ind, spec.pitch_range,
+                                      dtype=jnp.float32)
+            # token-feedback accumulator seeded with the pitch row (off the
+            # dur chain); the dur rows join bit-by-bit inside the chain
+            gi_pitch = pitch_oh @ folds["w_pitch_gi"]
+            h_d0 = h @ folds["w_dhid_eff"] + folds["b_dhid_eff"]
+            X0 = h @ folds["w_dx0"] + folds["b_dx0"]
+            dur_logits, dur_bits, gi_tok_next = _decode_dur_folded(
+                p, folds, h_d0, X0, gi_pitch, spec)
+            raw = jnp.concatenate(
+                [pitch_oh, dur_bits.astype(jnp.float32)], axis=-1).astype(
                 p["note_emb"]["w"].dtype)
             is_eos = (pitch_ind == spec.pitch_eos) & (length == 0)
             length = jnp.where(is_eos, k, length)
-            return (h, raw @ folds["w_raw_gi"], length), (
-                est_pitch, dur_logits, raw)
+            return (h, gi_tok_next, length), (est_pitch, dur_logits, raw)
 
         ks = jnp.arange(1, K, dtype=jnp.int32)
         init = (hid0, gi_tok0, jnp.zeros((B,), jnp.int32))

@@ -3,6 +3,7 @@ from pctd_tpu.ops.gru import (  # noqa: F401
     gru_init,
     gru_cell,
     gru_cell_pre,
+    gru_gates_pre,
     input_proj,
     gru_scan,
     bigru_last,

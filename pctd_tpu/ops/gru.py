@@ -62,15 +62,23 @@ def input_proj(p: GRUParams, x: jax.Array) -> jax.Array:
     return x @ p.w_ih + p.b_ih
 
 
-def gru_cell_pre(p: GRUParams, gi: jax.Array, h: jax.Array) -> jax.Array:
-    """One GRU step given a precomputed input projection ``gi`` (B, 3H)."""
-    gh = h @ p.w_hh + p.b_hh
+def gru_gates_pre(gi: jax.Array, gh: jax.Array, h: jax.Array) -> jax.Array:
+    """GRU gate math from precomputed input AND hidden projections (both
+    (B, 3H)). Bit-identical to :func:`gru_cell_pre` when ``gh`` is
+    ``h @ w_hh + b_hh`` — callers use this to source ``gh`` from a
+    column-slice of a combined matmul (same contraction per column, so the
+    slice is exact) and keep the hidden dot off a serial chain."""
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
     return (1.0 - z) * n + z * h
+
+
+def gru_cell_pre(p: GRUParams, gi: jax.Array, h: jax.Array) -> jax.Array:
+    """One GRU step given a precomputed input projection ``gi`` (B, 3H)."""
+    return gru_gates_pre(gi, h @ p.w_hh + p.b_hh, h)
 
 
 def gru_cell(p: GRUParams, x: jax.Array, h: jax.Array) -> jax.Array:

@@ -13,22 +13,39 @@ Used by the serving/sampling path (pianotree_decoder.decode with
 ``frame_decoder='pallas'``); training keeps the XLA scan (the kernel is
 forward-only).
 
-Weight layout notes
--------------------
-- the notes-GRU input projection is pre-split: the frame part
-  (time_hidden x 3H) is applied ONCE per frame; the token part per slot.
-- biases are shipped as (1, X) rows (TPU scalars want 2D).
-- the duration chain's input projections are hoisted out of the serial
-  chain entirely (sos: one dot; post-sos: row selects of w_dih + b).
+Serial-chain design (the decode is dependency-LATENCY bound, not
+FLOP-bound — every removed chain link is wall-clock):
+
 - the per-slot dependence chain carries the serving weight FOLDS of
   pianotree_decoder.fold_inference_heads (identical in every backend, so
-  the backends stay mutually bit-exact):
-  * ``h -> dur-hid`` is ONE dot with the pitch head pre-multiplied in
-    (w_dhid_eff) — the pitch-head dot overlaps the duration chain (its
-    argmax is not needed until the token select at chain end);
-  * the token feedback is ``raw one-hot @ (w_emb @ w_tok)`` (w_raw_gi) —
-    the embedding dot leaves the chain; the embeddings for the summary
-    bi-GRU are computed once per frame in ONE batched (K*B)-row dot.
+  the backends stay mutually bit-exact): the pitch head is pre-multiplied
+  into the dur-hid init (w_dhid_eff) AND into the first dur-chain combined
+  projection (w_dx0), and the note embedding is pre-multiplied into the
+  notes-GRU token projection (w_raw_gi).
+- the chain-critical values a slot derives from its note hidden ``h`` —
+  pitch logits, dur-hid init, first dur combined projection — are ONE
+  combined matmul ``h @ w_slot`` with 128-aligned column blocks (column
+  slices of a dot are bit-exact: each output column accumulates the same
+  contraction). The next slot's GRU hidden projection (w_hh, 3x wider) is
+  a separate dot issued after it, overlapping the dur chain (see
+  _slot_layout).
+- each dur step is ONE combined dot yielding (logit_w, gh_{w+1}) — see
+  train_frame._dur_comb.
+- the token feedback needs NO dot at chain end: the raw token is
+  ``[one_hot(pitch) | dur bits]``, so its gi projection is the pitch row
+  (one dot issued at argmax time, overlapping the dur chain) plus
+  ``bit_w * w_raw_gi[P + w]`` VPU multiply-adds accumulated as the bits
+  are decided (mirrored exactly by pianotree_decoder._decode_dur_folded).
+- the dur-chain sos projections are hoisted (the sos gi: one dot; post-sos
+  tokens are {0,1} one-hots -> row selects of w_dih + b, exact vs the
+  matmul); the sos token's gi projection is a host-side constant.
+- the summary bi-GRU's per-slot input projections collapse into one
+  (K*B)-row dot per direction; the serial part keeps only the hidden-side
+  elementwise steps. The predicted-note embeddings feed ONLY the summary,
+  so they run once per frame in one batched (K-1)*B-row dot.
+
+The slot loop and summary are shared with the whole-sequence kernel
+(full_decoder) via _slot_chain/_summary_from_raws.
 """
 from __future__ import annotations
 
@@ -70,23 +87,165 @@ from pctd_tpu.ops.pallas.train_frame import (_DUR_PAD,
                                              _dur_comb as dur_comb_weights)
 
 
-def _frame_kernel(spec: PianoTreeSpec,
-                  h_time_ref, sos_emb_ref, sos_raw_ref,
+def _up128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _slot_layout(cfg: ModelConfig, spec: PianoTreeSpec):
+    """Column offsets of the combined per-slot weight ``w_slot`` =
+    [w_pitch | w_dhid_eff | w_dx0], each block start 128-aligned (Mosaic
+    lane slices need tile-aligned offsets). The next-slot GRU hidden
+    projection (w_hh) stays a SEPARATE dot issued after this one: its
+    result is not needed until the next slot, while these three gate the
+    dur chain — folding its 12 column blocks into the chain-critical dot
+    measured ~1 ms slower at B=128."""
+    o_hd = _up128(spec.pitch_range)
+    o_x0 = o_hd + _up128(cfg.dec_dur_hidden)
+    total = o_x0 + _up128(_DUR_PAD + 3 * cfg.dec_dur_hidden)
+    return o_hd, o_x0, total
+
+
+def _pack_cols(pairs, total):
+    """[(w, b), ...] -> (w_packed (in, total), b_row (1, total)) with each
+    block zero-padded out to its 128-aligned width."""
+    in_dim = pairs[0][0].shape[0]
+    ws, bs = [], []
+    off = 0
+    for w, b in pairs:
+        ws.append(w)
+        bs.append(b.reshape(1, -1))
+        pad = _up128(w.shape[1]) - w.shape[1]
+        if pad:
+            ws.append(jnp.zeros((in_dim, pad), w.dtype))
+            bs.append(jnp.zeros((1, pad), w.dtype))
+        off += _up128(w.shape[1])
+    assert off == total, (off, total)
+    return jnp.concatenate(ws, axis=1), jnp.concatenate(bs, axis=1)
+
+
+def _slot_chain(spec, layout, hid, gi_frame,
+                w_hh_ref, b_hh_ref, w_slot_ref, b_slot_ref,
+                w_pitch_gi_ref, w_dur_gi_ref, gi_tok_sos_ref,
+                w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
+                dur_sos_ref, emit):
+    """The serial note-slot chain of one frame, shared by the per-frame and
+    whole-sequence kernels. ``emit(k, pitch_ind, dur_bits)`` writes the
+    per-slot outputs in the caller's layout. Returns (raws, lengths)."""
+    K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
+    B = hid.shape[0]
+    o_hd, o_x0, _ = layout
+    nh3 = gi_frame.shape[-1]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+
+    # dur-chain input projections hoisted: sos once per frame; post-sos
+    # tokens are {0,1} one-hots, so their projections are row selects of
+    # w_dih + b (bit-exact vs the one-hot matmul)
+    gi_d_sos = dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)),
+                   w_dih_ref[:]) + b_dih_ref[:]
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+
+    gi_tok = jnp.broadcast_to(gi_tok_sos_ref[:], (B, nh3))
+    lengths = jnp.zeros((B, 1), jnp.int32)
+
+    h = hid
+    gh = dot(hid, w_hh_ref[:]) + b_hh_ref[:]
+    raws = []                                                # (B, P + W) each
+    for k in range(1, K):
+        h = _gru_pre(gi_frame + gi_tok, gh, h)
+        # chain-critical dot FIRST: [pitch logits | dur-hid init | first
+        # dur combined projection] in one MXU issue; the (wider) next-slot
+        # hidden projection issues after it and overlaps the dur chain
+        Y = dot(h, w_slot_ref[:]) + b_slot_ref[:]
+        gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
+        est_pitch = Y[:, 0:P]
+        pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
+        pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
+        # token-feedback accumulator seeded with the pitch row — off the
+        # dur chain (issues at argmax time); dur rows join bit-by-bit
+        acc = dot(pitch_oh, w_pitch_gi_ref[:])
+
+        # 5-step binary duration chain; each step is ONE combined dot
+        # yielding (logit_w, gh_{w+1}) — see dur_comb_weights. h_d and X0
+        # both come straight off Y (pitch head / dur-hid pre-multiplied).
+        h_d = Y[:, o_hd:o_hd + w_dcomb_ref.shape[0]]
+        X = Y[:, o_x0:o_x0 + w_dcomb_ref.shape[1]]
+        gi_d = gi_d_sos
+        bits = []
+        for w in range(W):
+            h_d = _gru_pre(gi_d, X[:, _DUR_PAD:], h_d)
+            X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
+            logit = X[:, 0:2]
+            lf = logit.astype(jnp.float32)
+            bitf = (lf[:, 1:2] > lf[:, 0:1]).astype(jnp.float32)
+            bits.append(bitf[:, 0].astype(jnp.int32))
+            acc = acc + bitf * w_dur_gi_ref[w:w + 1]
+            # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast a
+            # plain jnp.where needs fails Mosaic relayout at B >= 256
+            gi_d = bitf * gi_d_row1 + (1.0 - bitf) * gi_d_row0
+        gi_tok = acc
+        dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)
+
+        raw = jnp.concatenate([pitch_oh, dur_bits.astype(h.dtype)], axis=-1)
+        emit(k, pitch_ind, dur_bits)
+        raws.append(raw)
+        is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
+        lengths = jnp.where(is_eos, k, lengths)
+
+    lengths = jnp.where(lengths == 0, K - 1, lengths)
+    return raws, lengths
+
+
+def _summary_from_raws(spec, raws, sos_emb, lengths,
+                       w_emb_ref, b_emb_ref,
+                       we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref, dtype):
+    """Masked bidirectional GRU summary of the predicted notes, fully in
+    VMEM (pack_padded semantics: fwd final = h after slot len-1; bwd final
+    = h after scanning slots len-1 .. 0). The predicted-note embeddings
+    feed only this summary, so they run OFF the slot chain in one batched
+    (K-1)*B-row dot; [sos rows | emb rows] IS the (K, B, E) slot-major
+    layout, so the flat input is one concatenate. All input projections in
+    one dot per direction; the serial part keeps only the hidden-side
+    elementwise steps."""
+    K = spec.max_simu_note
+    B = sos_emb.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    raw_flat = jnp.stack(raws).reshape((K - 1) * B, raws[0].shape[-1])
+    emb_flat = dot(raw_flat, w_emb_ref[:]) + b_emb_ref[:]
+    flat = jnp.concatenate([sos_emb.astype(emb_flat.dtype), emb_flat],
+                           axis=0)
+    EH = we_hh_ref.shape[1]
+    gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
+        K, B, 3 * EH)
+    gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
+        K, B, 3 * EH)
+    hf = jnp.zeros((B, EH), dtype)
+    hb = jnp.zeros((B, EH), dtype)
+    for k in range(K):
+        mf = (k < lengths).astype(dtype)                     # (B, 1)
+        hf_new = _gru(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
+        hf = mf * hf_new + (1.0 - mf) * hf
+        kb = K - 1 - k
+        mb = (kb < lengths).astype(dtype)
+        hb_new = _gru(gib_all[kb], hb, we_hh_ref[1], be_hh_ref[1:2, :])
+        hb = mb * hb_new + (1.0 - mb) * hb
+    return hf, hb
+
+
+def _frame_kernel(spec: PianoTreeSpec, layout,
+                  h_time_ref, sos_emb_ref,
                   w_t2n_ref, b_t2n_ref,
-                  w_ih_frame_ref, b_ih_ref,
-                  w_hh_ref, b_hh_ref,
-                  w_pitch_ref, b_pitch_ref,
-                  w_dhid_eff_ref, b_dhid_eff_ref,
-                  w_raw_gi_ref, b_raw_gi_ref,
+                  w_ih_frame_ref, b_ih_ref, b_raw_gi_ref,
+                  w_hh_ref, b_hh_ref, w_slot_ref, b_slot_ref,
+                  w_pitch_gi_ref, w_dur_gi_ref, gi_tok_sos_ref,
                   w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
-                  w_emb_ref, b_emb_ref, dur_sos_ref,
+                  dur_sos_ref, w_emb_ref, b_emb_ref,
                   we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
                   pitch_idx_ref, dur_bits_ref, summary_ref, len_ref):
-    K = spec.max_simu_note
-    W = spec.dur_width
-    P = spec.pitch_range
     B = h_time_ref.shape[0]
-
     h_time = h_time_ref[:]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -95,157 +254,102 @@ def _frame_kernel(spec: PianoTreeSpec,
     # projection) folds into the per-frame gi
     gi_frame = (dot(h_time, w_ih_frame_ref[:]) + b_ih_ref[:]
                 + b_raw_gi_ref[:])                           # (B, 3NH)
-    lengths = jnp.zeros((B, 1), jnp.int32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
-
-    # dur-chain input projections hoisted: sos once; post-sos tokens are
-    # {0,1} one-hots, so their projections are row selects (bit-exact vs the
-    # one-hot matmul) — see train_frame._run_forward
-    gi_d_sos = dot(jnp.broadcast_to(dur_sos_ref[:], (B, W)),
-                   w_dih_ref[:]) + b_dih_ref[:]
-    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
-    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
-
-    # slot-1 token projection: the sos raw feature through the folded
-    # raw -> gi weights (same dot as the XLA path's gi_tok0)
-    gi_tok = jnp.broadcast_to(dot(sos_raw_ref[:], w_raw_gi_ref[:]),
-                              (B, gi_frame.shape[-1]))
-
-    h = hid
-    gh = dot(hid, w_hh_ref[:]) + b_hh_ref[:]
-    raws = []                                                # (B, P + W) each
-    for k in range(1, K):
-        h = _gru_pre(gi_frame + gi_tok, gh, h)
-        # next slot's hidden projection issues HERE — it depends only on h,
-        # so it overlaps the whole dur chain instead of sitting on the
-        # serial path between token_{k} and the slot-(k+1) gates
-        gh = dot(h, w_hh_ref[:]) + b_hh_ref[:]
-        # pitch head: OFF the dependence chain (folded out of the dur-hid
-        # init); its argmax is consumed at chain end for the token select
-        est_pitch = dot(h, w_pitch_ref[:]) + b_pitch_ref[:]  # (B, P)
-        pitch_ind = jnp.argmax(est_pitch, axis=-1).astype(jnp.int32)
-
-        # 5-step binary duration chain; dur-hid init is ONE dot from h
-        # (pitch head pre-multiplied); each step is ONE combined dot
-        # yielding (logit_w, gh_{w+1}) — see dur_comb_weights
-        h_d = dot(h, w_dhid_eff_ref[:]) + b_dhid_eff_ref[:]
-        X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
-        gi_d = gi_d_sos
-        bits = []
-        for _ in range(W):
-            h_d = _gru_pre(gi_d, X[:, _DUR_PAD:], h_d)
-            X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
-            logit = X[:, 0:2]
-            bit = (logit[:, 1] > logit[:, 0])
-            bits.append(bit.astype(jnp.int32))
-            # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast a
-            # plain jnp.where needs fails Mosaic relayout at B >= 256
-            gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
-        dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)
-
-        pitch_oh = (col == pitch_ind[:, None]).astype(h.dtype)
-        raw = jnp.concatenate([pitch_oh, dur_bits.astype(h.dtype)], axis=-1)
-        # next token's gi in ONE dot off the raw one-hot (embedding folded)
-        gi_tok = dot(raw, w_raw_gi_ref[:])
-
+    def emit(k, pitch_ind, dur_bits):
         pitch_idx_ref[:, k - 1] = pitch_ind
         dur_bits_ref[:, k - 1, :] = dur_bits
-        raws.append(raw)
-        is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
-        lengths = jnp.where(is_eos, k, lengths)
 
-    lengths = jnp.where(lengths == 0, K - 1, lengths)
+    raws, lengths = _slot_chain(
+        spec, layout, hid, gi_frame,
+        w_hh_ref, b_hh_ref, w_slot_ref, b_slot_ref,
+        w_pitch_gi_ref, w_dur_gi_ref, gi_tok_sos_ref,
+        w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
+        dur_sos_ref, emit)
     len_ref[:] = lengths
 
-    # predicted-note embeddings for the summary, ONE batched dot for all
-    # K-1 slots (they are OFF the slot chain; slot 0's token is sos_emb).
-    # [sos rows | emb rows] IS the (K, B, E) slot-major layout, so the
-    # summary's flat input is one concatenate — no per-slot restacking.
-    raw_flat = jnp.stack(raws).reshape((K - 1) * B, raws[0].shape[-1])
-    emb_flat = dot(raw_flat, w_emb_ref[:]) + b_emb_ref[:]
-
-    # masked bidirectional GRU summary of the predicted notes, fully in VMEM
-    # (pack_padded semantics: fwd final = h after slot len-1; bwd final =
-    # h after scanning slots len-1 .. 0); all input projections in one dot
-    # per direction
     EH = we_hh_ref.shape[1]                                  # emb hidden
-    flat = jnp.concatenate(
-        [sos_emb_ref[:].astype(emb_flat.dtype), emb_flat], axis=0)
-    gif_all = (dot(flat, we_ih_ref[0]) + be_ih_ref[0:1, :]).reshape(
-        K, B, 3 * EH)
-    gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
-        K, B, 3 * EH)
-    hf = jnp.zeros((B, EH), h_time.dtype)
-    hb = jnp.zeros((B, EH), h_time.dtype)
-    for k in range(K):
-        mf = (k < lengths).astype(h_time.dtype)              # (B, 1)
-        hf_new = _gru(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
-        hf = mf * hf_new + (1.0 - mf) * hf
-        kb = K - 1 - k
-        mb = (kb < lengths).astype(h_time.dtype)
-        hb_new = _gru(gib_all[kb], hb, we_hh_ref[1], be_hh_ref[1:2, :])
-        hb = mb * hb_new + (1.0 - mb) * hb
+    hf, hb = _summary_from_raws(spec, raws, sos_emb_ref[:], lengths,
+                                w_emb_ref, b_emb_ref,
+                                we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
+                                h_time.dtype)
     summary_ref[:, :EH] = hf.astype(summary_ref.dtype)
     summary_ref[:, EH:] = hb.astype(summary_ref.dtype)
 
 
 def folded_frame_weights(p: dict, cfg: ModelConfig):
     """Shared weight preparation for the folded inference kernels: the
-    train-kernel layout (train_frame.core_weights) with the dur-chain pair
-    combined (dur_comb_weights) and the serial-path folds of
-    pianotree_decoder.fold_inference_heads applied. Returns the arg tuple
-    tail shared by ar_decoder and full_decoder (everything after the
-    per-call activations)."""
-    from pctd_tpu.models.pianotree_decoder import fold_inference_heads
-    from pctd_tpu.ops.pallas.train_frame import core_weights
+    serial-path folds of pianotree_decoder.fold_inference_heads packed into
+    the combined per-slot matmul (_slot_layout) plus the dur-chain /
+    feedback constants. Returns (layout, frame_proj, slot_args,
+    summary_args): frame_proj = the notes-GRU input projection's frame
+    share + biases; slot_args / summary_args = exactly the weight refs
+    _slot_chain / _summary_from_raws take, in order."""
+    from pctd_tpu.models.pianotree_decoder import (fold_inference_heads,
+                                                   sos_token_raw)
 
-    cw = core_weights(p, cfg)
+    spec = cfg.pianotree
     folds = fold_inference_heads(p, cfg)
-    w_dcomb, b_dcomb = dur_comb_weights(*cw[13:17])
+    layout = _slot_layout(cfg, spec)
+    ng = p["notes_gru"]
     row = lambda b: b.reshape(1, -1)
-    # cw: 0 w_t2n, 1 b_t2n, 2 w_ih_frame, 3 w_ih_tok, 4 b_ih, 5 w_hh,
-    # 6 b_hh, 7 w_pitch, 8 b_pitch, 9 w_dhid, 10 b_dhid, 11 w_dih,
-    # 12 b_dih, 13..16 dur pair, 17.. w_emb, b_emb, dur_sos, we_*
-    return (cw[0], cw[1], cw[2], cw[4], cw[5], cw[6], cw[7], cw[8],
-            folds["w_dhid_eff"], row(folds["b_dhid_eff"]),
-            folds["w_raw_gi"], row(folds["b_raw_gi"]),
-            cw[11], cw[12], w_dcomb, b_dcomb) + cw[17:]
+    w_slot, b_slot = _pack_cols(
+        [(p["pitch_out"]["w"], p["pitch_out"]["b"]),
+         (folds["w_dhid_eff"], folds["b_dhid_eff"]),
+         (folds["w_dx0"], folds["b_dx0"])], layout[-1])
+    # the sos token's folded gi projection: a per-weights constant
+    gi_tok_sos = (sos_token_raw(spec).astype(jnp.float32).reshape(1, -1)
+                  @ folds["w_raw_gi"])
+    th = cfg.dec_time_hidden
+    frame_proj = (ng.w_ih[:th], row(ng.b_ih), row(folds["b_raw_gi"]))
+    slot_args = (ng.w_hh, row(ng.b_hh), w_slot, b_slot,
+                 folds["w_pitch_gi"], folds["w_dur_gi"], gi_tok_sos,
+                 p["dur_gru"].w_ih, row(p["dur_gru"].b_ih),
+                 folds["w_dcomb"], folds["b_dcomb"],
+                 row(p["dur_sos"]))
+    summary_args = (
+        p["note_emb"]["w"], row(p["note_emb"]["b"]),
+        jnp.stack([p["emb_fwd"].w_ih, p["emb_bwd"].w_ih]),
+        jnp.stack([p["emb_fwd"].w_hh, p["emb_bwd"].w_hh]),
+        jnp.stack([p["emb_fwd"].b_ih, p["emb_bwd"].b_ih]),
+        jnp.stack([p["emb_fwd"].b_hh, p["emb_bwd"].b_hh]),
+    )
+    return layout, frame_proj, slot_args, summary_args
 
 
 def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
                         sos_emb: jnp.ndarray, interpret: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                    jnp.ndarray]:
-    """Decode one frame's notes + their bi-GRU summary with the fused kernel.
+    """Fused decode of ONE frame's note+dur levels + predicted summary.
 
-    p: pianotree_decoder params; h_time (B, time_hidden); sos_emb (B, emb).
+    h_time (B, time_hidden) f32, sos_emb (B, emb) f32.
     Returns (pitch_idx (B, K-1) i32, dur_bits (B, K-1, W) i32,
              summary (B, 2*emb_hidden), lengths (B,) i32).
     """
-    from pctd_tpu.models.pianotree_decoder import sos_token_raw
-
     spec = cfg.pianotree
     B = h_time.shape[0]
     K, W = spec.max_simu_note, spec.dur_width
 
-    sos_raw = sos_token_raw(spec).astype(h_time.dtype).reshape(1, -1)
-    args = (h_time, sos_emb, sos_raw) + folded_frame_weights(p, cfg)
+    layout, frame_proj, slot_args, summary_args = folded_frame_weights(
+        p, cfg)
+    args = (h_time, sos_emb, p["time2notes"]["w"],
+            p["time2notes"]["b"].reshape(1, -1)) + frame_proj + \
+        slot_args + summary_args
 
-    kernel = functools.partial(_frame_kernel, spec)
+    kernel = functools.partial(_frame_kernel, spec, layout)
     out_shapes = (
         jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
         jax.ShapeDtypeStruct((B, K - 1, W), jnp.int32),
         jax.ShapeDtypeStruct((B, 2 * cfg.dec_emb_hidden), h_time.dtype),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)
     pitch_idx, dur_bits, summary, lengths = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[vmem] * len(args),
         out_specs=(vmem, vmem, vmem, vmem),
-        # resident weights (+ folded raw->gi projection and the per-frame
+        # resident weights (+ the combined slot matrix and the per-frame
         # raw stash for the batched embedding dot) exceed the default 16M
         # scoped-VMEM budget; a v5e core has ~128M
         compiler_params=None if interpret else pltpu.CompilerParams(
