@@ -283,6 +283,7 @@ def main():
     b128_f32 = _bench_train_step(compute_dtype="float32")
     tens_per_sec = _bench_tensorize()
     dec_pallas = _bench_sampler("pallas")
+    dec_full = _bench_sampler("pallas_full")
     dec_xla = _bench_sampler("xla")
 
     mfu = None
@@ -337,7 +338,7 @@ def main():
                 {"backend": d["backend"], "batch_size": d["batch_size"],
                  "segments_per_sec": round(d["segments_per_sec"], 2),
                  "ms_per_batch": round(d["ms_per_batch"], 1)}
-                for d in (dec_pallas, dec_xla)],
+                for d in (dec_pallas, dec_full, dec_xla)],
             "device": str(jax.devices()[0]),
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",

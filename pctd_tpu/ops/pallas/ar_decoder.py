@@ -60,13 +60,6 @@ from jax.experimental.pallas import tpu as pltpu
 from pctd_tpu.config import ModelConfig, PianoTreeSpec
 
 
-def _gru(gi, h, w_hh, b_hh):
-    # shared cell with the training kernel (gate math lives in one place)
-    from pctd_tpu.ops.pallas.train_frame import _gru_fwd
-
-    return _gru_fwd(gi, h, w_hh, b_hh)[0]
-
-
 def _gru_pre(gi, gh, h):
     # gate math from a precomputed hidden projection (chain-hoisted gh)
     from pctd_tpu.ops.pallas.train_frame import _gru_gates
@@ -206,9 +199,15 @@ def _summary_from_raws(spec, raws, sos_emb, lengths,
     = h after scanning slots len-1 .. 0). The predicted-note embeddings
     feed only this summary, so they run OFF the slot chain in one batched
     (K-1)*B-row dot; [sos rows | emb rows] IS the (K, B, E) slot-major
-    layout, so the flat input is one concatenate. All input projections in
-    one dot per direction; the serial part keeps only the hidden-side
-    elementwise steps."""
+    layout, so the flat input is one concatenate.
+
+    The two directions are row-PACKED into one chain of K steps on 2B
+    rows (fwd step k pairs with bwd step k, which consumes slot K-1-k):
+    one hidden dot via block-row weights on a zero-padded 2EH contraction
+    ([hf | 0] @ [w_fwd; w_bwd] — the pad terms are exact zero products, so
+    values are bit-identical to the separate dots) and one gate pass (rows
+    independent). Halves the serial issue count of this loop, which sits
+    on the inter-frame critical path via the summary feedback."""
     K = spec.max_simu_note
     B = sos_emb.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -222,17 +221,24 @@ def _summary_from_raws(spec, raws, sos_emb, lengths,
         K, B, 3 * EH)
     gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
         K, B, 3 * EH)
-    hf = jnp.zeros((B, EH), dtype)
-    hb = jnp.zeros((B, EH), dtype)
+    # (K, 2B, 3EH): step k = [fwd gi of slot k | bwd gi of slot K-1-k]
+    gi_pack = jnp.concatenate([gif_all, gib_all[::-1]], axis=1)
+    w_pack = jnp.concatenate([we_hh_ref[0], we_hh_ref[1]], axis=0)
+    b_pack = jnp.concatenate(
+        [jnp.broadcast_to(be_hh_ref[0:1, :], (B, 3 * EH)),
+         jnp.broadcast_to(be_hh_ref[1:2, :], (B, 3 * EH))], axis=0)
+    zero = jnp.zeros((B, EH), dtype)
+    h = jnp.zeros((2 * B, EH), dtype)                        # [hf; hb]
     for k in range(K):
-        mf = (k < lengths).astype(dtype)                     # (B, 1)
-        hf_new = _gru(gif_all[k], hf, we_hh_ref[0], be_hh_ref[0:1, :])
-        hf = mf * hf_new + (1.0 - mf) * hf
-        kb = K - 1 - k
-        mb = (kb < lengths).astype(dtype)
-        hb_new = _gru(gib_all[kb], hb, we_hh_ref[1], be_hh_ref[1:2, :])
-        hb = mb * hb_new + (1.0 - mb) * hb
-    return hf, hb
+        x = jnp.concatenate(
+            [jnp.concatenate([h[:B], zero], axis=1),
+             jnp.concatenate([zero, h[B:]], axis=1)], axis=0)
+        gh = dot(x, w_pack) + b_pack
+        h_new = _gru_pre(gi_pack[k], gh, h)
+        m = jnp.concatenate([(k < lengths), (K - 1 - k < lengths)],
+                            axis=0).astype(dtype)            # (2B, 1)
+        h = m * h_new + (1.0 - m) * h
+    return h[:B], h[B:]
 
 
 def _frame_kernel(spec: PianoTreeSpec, layout,
