@@ -285,6 +285,9 @@ def main():
     dec_pallas = _bench_sampler("pallas")
     dec_full = _bench_sampler("pallas_full")
     dec_xla = _bench_sampler("xla")
+    # batch-scaling point: the decode is serial-latency bound, so rows are
+    # nearly free — throughput serving wants the bigger fixed batch
+    dec_full512 = _bench_sampler("pallas_full", batch_size=512)
 
     mfu = None
     if big["flops_per_step"]:
@@ -338,7 +341,8 @@ def main():
                 {"backend": d["backend"], "batch_size": d["batch_size"],
                  "segments_per_sec": round(d["segments_per_sec"], 2),
                  "ms_per_batch": round(d["ms_per_batch"], 1)}
-                for d in (dec_pallas, dec_full, dec_xla)],
+                for d in (dec_pallas, dec_full, dec_xla,
+                          dec_full512)],
             "device": str(jax.devices()[0]),
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",

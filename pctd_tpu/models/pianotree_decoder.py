@@ -186,7 +186,9 @@ def _decode_dur_folded(p: dict, folds: dict, h_d0: jnp.ndarray,
         h_d = gru_gates_pre(gi_d, X[:, _DUR_PAD:], h_d)
         X = h_d @ folds["w_dcomb"] + folds["b_dcomb"]
         logit = X[:, 0:2]
-        bitf = (logit[:, 1:2] > logit[:, 0:1]).astype(jnp.float32)
+        # one compute-dtype bit throughout (0/1 products are exact in any
+        # float dtype; f32 here == the kernels' f32 bitf bit-for-bit)
+        bitf = (logit[:, 1:2] > logit[:, 0:1]).astype(h_d0.dtype)
         logits.append(logit)
         bits.append(bitf[:, 0].astype(jnp.int32))
         acc = acc + bitf * folds["w_dur_gi"][w:w + 1]
@@ -329,8 +331,11 @@ def _decode_notes(p: dict, spec: PianoTreeSpec, frame_h: jnp.ndarray,
             pitch_oh = jax.nn.one_hot(pitch_ind, spec.pitch_range,
                                       dtype=jnp.float32)
             # token-feedback accumulator seeded with the pitch row (off the
-            # dur chain); the dur rows join bit-by-bit inside the chain
-            gi_pitch = pitch_oh @ folds["w_pitch_gi"]
+            # dur chain); the dur rows join bit-by-bit inside the chain.
+            # Cast to the weights' dtype so the scan carry keeps one dtype
+            # under bf16 inference (f32 one-hot would promote the carry).
+            gi_pitch = (pitch_oh.astype(folds["w_pitch_gi"].dtype)
+                        @ folds["w_pitch_gi"])
             h_d0 = h @ folds["w_dhid_eff"] + folds["b_dhid_eff"]
             X0 = h @ folds["w_dx0"] + folds["b_dx0"]
             dur_logits, dur_bits, gi_tok_next = _decode_dur_folded(
