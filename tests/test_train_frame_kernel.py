@@ -221,3 +221,18 @@ def test_fwd_and_grad_parity_padded_batch():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4,
             err_msg=f"padded-batch grad leaf {i} mismatch")
+
+
+def test_block_pickers():
+    """Block-size selection: the forward affords 1024-row blocks (no
+    gradient stash), the backward stays at 256 (VMEM-bound); non-divisible
+    batches fall back to 128 with zero-padding."""
+    from pctd_tpu.ops.pallas import train_frame as tf
+
+    assert tf._pick_block_fwd(2048) == 1024
+    assert tf._pick_block_fwd(1536) == 512
+    assert tf._pick_block_fwd(256) == 256
+    assert tf._pick_block_fwd(100) == 100      # single block, padded rows
+    assert tf._pick_block_fwd(300) == 128
+    assert tf._pick_block_bwd(2048) == 256
+    assert tf._pick_block_bwd(300) == 128
