@@ -117,10 +117,12 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
         return (time.perf_counter() - t0) / 4
 
     dt_sync = _median_time(sync_chain, label + "_hostsync", repeats=3)
+    from pctd_tpu.train.trainer import auto_accum_steps
     return {"segments_per_sec": batch_size / dt, "step_seconds": dt,
             "step_seconds_hostsync": dt_sync, "final_loss": loss_box["loss"],
             "batch_size": batch_size, "dtype": compute_dtype,
-            "remat": remat, "flops_per_step": flops}
+            "remat": remat, "flops_per_step": flops,
+            "accum_steps": auto_accum_steps(mcfg, tcfg)}
 
 
 def _train_step_flops(mcfg, tcfg, *_unused):
@@ -334,7 +336,7 @@ def main():
             "train_b4096_bf16_kernel_auto_accum": {
                 "segments_per_sec": round(b4096["segments_per_sec"], 2),
                 "step_seconds": round(b4096["step_seconds"], 5),
-                "accum_steps": 2,
+                "accum_steps": b4096["accum_steps"],
             },
             "tensorize_segments_per_sec": round(tens_per_sec, 1),
             "sample_decode": [

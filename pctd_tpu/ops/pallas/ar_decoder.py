@@ -67,17 +67,11 @@ def _gru_pre(gi, gh, h):
     return _gru_gates(gi, gh, h)[0]
 
 
-def _row_select(logit, row1, row0):
-    from pctd_tpu.ops.pallas.train_frame import _row_select as sel
-
-    return sel(logit, row1, row0)
-
-
 # Combined dur-chain weight layout — canonical helper lives in train_frame
 # (_dur_comb): [w_dout (2) | zero pad | w_dhh (3*DH)], the w_dhh block
 # tile-aligned, so one dot per dur step yields (logit, next gh) bit-exactly.
-from pctd_tpu.ops.pallas.train_frame import (_DUR_PAD,
-                                             _dur_comb as dur_comb_weights)
+# _argmax_bit is the Mosaic-safe bit extraction shared with _row_select.
+from pctd_tpu.ops.pallas.train_frame import _argmax_bit, _DUR_PAD
 
 
 def _up128(x: int) -> int:
@@ -170,13 +164,11 @@ def _slot_chain(spec, layout, hid, gi_frame,
         for w in range(W):
             h_d = _gru_pre(gi_d, X[:, _DUR_PAD:], h_d)
             X = dot(h_d, w_dcomb_ref[:]) + b_dcomb_ref[:]
-            logit = X[:, 0:2]
-            lf = logit.astype(jnp.float32)
-            bitf = (lf[:, 1:2] > lf[:, 0:1]).astype(jnp.float32)
+            bitf = _argmax_bit(X[:, 0:2])
             bits.append(bitf[:, 0].astype(jnp.int32))
             acc = acc + bitf * w_dur_gi_ref[w:w + 1]
-            # mask-free row select: the (B, 1) -> (B, 3DH) i1 broadcast a
-            # plain jnp.where needs fails Mosaic relayout at B >= 256
+            # mask-free row select (see train_frame._row_select: the i1
+            # broadcast a plain jnp.where needs fails Mosaic at B >= 256)
             gi_d = bitf * gi_d_row1 + (1.0 - bitf) * gi_d_row0
         gi_tok = acc
         dur_bits = jnp.stack(bits, axis=-1)                  # (B, W)

@@ -120,9 +120,17 @@ def _row_select(logit, row1, row0):
     an exact 0.0 product and ``x + 0.0 == x`` (only a dead -0.0/+0.0 bit on
     zero row entries can differ, which no downstream compare or sum can
     see)."""
-    lf = logit.astype(jnp.float32)
-    bitf = (lf[:, 1:2] > lf[:, 0:1]).astype(jnp.float32)
+    bitf = _argmax_bit(logit)
     return bitf * row1 + (1.0 - bitf) * row0
+
+
+def _argmax_bit(logit):
+    """(B, 2) logits -> (B, 1) f32 argmax bit (ties -> 0), the Mosaic-safe
+    compare+convert at the heart of _row_select — shared with the inference
+    decoders, which also feed the bit into token feedback and the emitted
+    duration word."""
+    lf = logit.astype(jnp.float32)
+    return (lf[:, 1:2] > lf[:, 0:1]).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

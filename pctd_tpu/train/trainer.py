@@ -72,15 +72,26 @@ def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
     512 without (remat is what "enables batch >= 1024", ARCHITECTURE
     batch-scaling table; B=4096 in one step OOMs on both paths). Picks the
     smallest microbatch count that divides the batch (required by the
-    accumulation reshape), so any batch size trains instead of OOMing.
+    accumulation reshape), so any reasonable batch size trains instead of
+    OOMing. A batch with no small divisor (e.g. a prime > envelope) has no
+    usable microbatch split — that raises with guidance rather than
+    silently compiling a 1-segment-per-microbatch scan.
     """
     if tcfg.accum_steps > 0:
         return tcfg.accum_steps
     envelope = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel) else 512
     B = tcfg.batch_size
-    need = max(1, -(-B // envelope))
+    ideal = max(1, -(-B // envelope))
+    need = ideal
     while B % need:
         need += 1
+    if need > max(8, 4 * ideal):
+        raise ValueError(
+            f"batch_size={B} exceeds the single-step HBM envelope "
+            f"({envelope}) but its smallest divisor >= {ideal} is {need}, "
+            f"which would scan {need} tiny microbatches. Pick a batch size "
+            f"divisible by a small count (e.g. {ideal * envelope}) or set "
+            f"accum_steps explicitly.")
     return need
 
 

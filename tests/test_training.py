@@ -267,3 +267,7 @@ def test_auto_accum_steps():
     assert auto_accum_steps(plain, t(1024)) == 2        # no remat: 512 env
     assert auto_accum_steps(remat, t(3072)) == 2        # smallest divisor
     assert auto_accum_steps(remat, t(4096, accum=8)) == 8  # explicit wins
+    # a batch with no small divisor (prime > envelope) must raise with
+    # guidance instead of silently scanning 1-segment microbatches
+    with pytest.raises(ValueError, match="divisible"):
+        auto_accum_steps(remat, t(2053))
