@@ -161,7 +161,8 @@ def _template_bank() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def estimate_chords(nmat: np.ndarray, n_beats: int,
-                    switch_penalty: float = 0.4) -> np.ndarray:
+                    switch_penalty: float = 0.4,
+                    bass_bonus: float = 0.1) -> np.ndarray:
     """Per-beat 14-d chord rows [root, chroma(12), bass] from an ext nmat.
 
     Chroma-HMM chord estimation: per-beat emission scores over all
@@ -170,7 +171,14 @@ def estimate_chords(nmat: np.ndarray, n_beats: int,
     arpeggiated textures). The emitted chroma is the TEMPLATE bitmap (chord
     tones), matching POP909-style annotations. Leading silence stays
     all-zero; interior silence inherits via the zero-emission + switch
-    penalty, i.e. the chord sustains."""
+    penalty, i.e. the chord sustains.
+
+    ``bass_bonus`` rewards states whose root is the beat's lowest sounding
+    pitch class — the relative-major/minor disambiguator (a {C,E,G,A} beat
+    is C6 over a C bass, Am7 over an A bass). Calibrated on the reference
+    demo corpus: 0.1 recovers the C-bass openings the root-presence term
+    alone mislabels Am, while staying below the ~0.15 threshold where
+    inverted chords (A-bass F beats) start flipping to the relative minor."""
     obs, bass = _beat_chroma_and_bass(nmat, n_beats)
     masks, roots, sizes = _template_bank()
     totals = obs.sum(axis=1, keepdims=True)                       # (T, 1)
@@ -179,6 +187,10 @@ def estimate_chords(nmat: np.ndarray, n_beats: int,
     in_w = c @ masks.T                                            # (T, S)
     coverage = ((c > 1e-9).astype(float) @ masks.T) / sizes       # (T, S)
     emit = in_w - 0.6 * (1.0 - in_w) + 0.3 * coverage + 0.2 * c[:, roots]
+    if bass_bonus:
+        # lowest sounding pitch == state root: the classic relative-
+        # major/minor disambiguator on sparse arpeggiated beats
+        emit += bass_bonus * (bass[:, None] == roots[None, :])
     emit[~sounding] = 0.0                                         # no signal
 
     S = masks.shape[0]

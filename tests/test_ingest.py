@@ -50,6 +50,28 @@ def test_estimate_chords_triads():
     assert chords[4, 13] == 9               # bass = A
 
 
+def test_estimate_chords_bass_disambiguates_relative():
+    """Identical {C,E,G,A} chroma is C-rooted over a C bass and A-rooted
+    over an A bass (relative major/minor ambiguity, resolved by the
+    bass_bonus emission term)."""
+    def beat(b, bass):
+        # sustained triad + a brief A passing tone (the arpeggiated-texture
+        # shape that makes the label ambiguous: Am7 covers all four pcs)
+        return ([(b, b + 1, p, 100) for p in (bass, 60, 64, 67)]
+                + [(b, b + 0.25, 69, 100)])
+    notes = beat(0, 36) + beat(1, 36) + beat(2, 33) + beat(3, 33)
+    # switch_penalty=0 isolates the per-beat emission (the bonus is an
+    # emission term; with the default penalty the Viterbi path correctly
+    # refuses to split a sustained ambiguity, which is its own job)
+    chords = estimate_chords(quantize_notes(notes), 4, switch_penalty=0.0)
+    assert (chords[:2, 0] == 0).all()       # C root over C2 bass
+    assert (chords[2:, 0] == 9).all()       # A root over A1 bass
+    # without the bonus, Am7's full coverage wins on every beat
+    chords0 = estimate_chords(quantize_notes(notes), 4, switch_penalty=0.0,
+                              bass_bonus=0.0)
+    assert (chords0[:, 0] == 9).all()
+
+
 def test_estimate_chords_viterbi_smooths_blips():
     # sustained C triad with one beat of only E+G (ambiguous): smoothing keeps C
     notes = [(b, b + 1, p, 100) for b in range(4) for p in (48, 60, 64, 67)
