@@ -11,19 +11,25 @@ bandwidth-bound (ARCHITECTURE.md: full recompute beats every partial-save
 policy). Here:
 
 - the FORWARD kernel runs the whole frame INCLUDING the summary in VMEM and
-  emits the pitch/dur logits, the frame summary, and the eos lengths;
-- the BACKWARD kernel recomputes the forward entirely in VMEM (checkpoint
-  semantics: its residuals are just the frame inputs) and hand-differentiates
-  the chain in the same VMEM residency, accumulating weight gradients in f32
-  across batch-grid blocks. Every slot-independent computation is batched
-  over (K-1)*B rows: the summary bi-GRU's gate projections and weight/d_pred
-  dots, the pitch heads, the duration chains (the 14x5 serial links collapse
-  to 5 wide steps), and the emb/x_emb cotangents. Only the note-GRU reverse
-  recurrence stays serial, its gate projections issued one step early so
-  their latency hides behind the recurrence. To keep 256-row blocks inside
-  VMEM the dur-chain recompute stashes just the bf16 hidden states and the
-  decided bits; the f32 gate tuples are recomputed in the backward loop
-  (same dots, same inputs => bit-exact).
+  emits the pitch/dur logits, the frame summary, and the eos lengths; on the
+  differentiation path it also stashes the serial-chain states (slot hiddens
+  + consumed tokens — the only products of the serial recurrence);
+- the BACKWARD kernel rebuilds every other intermediate from that stash with
+  (K-1)*B-row batched dots (per-row dot products identical to the forward's
+  per-slot dots => bit-equal argmax decisions) and hand-differentiates the
+  chain in the same VMEM residency, accumulating weight gradients in f32
+  across batch-grid blocks. It runs NO serial forward recompute — that
+  recompute ran once per 256-row grid block (8x the whole latency-bound
+  chain at B=2048) and dominated the backward. Every slot-independent
+  computation is batched over (K-1)*B rows: the summary bi-GRU's gate
+  projections and weight/d_pred dots, the pitch heads, the duration chains
+  (the 14x5 serial links collapse to 5 wide steps), and the emb/x_emb
+  cotangents. Only the note-GRU reverse recurrence stays serial, its gate
+  projections issued one step early so their latency hides behind the
+  recurrence. To keep 256-row blocks inside VMEM the dur-chain rebuild
+  stashes just the bf16 hidden states and the decided bits; the f32 gate
+  tuples are recomputed in the backward loop (same dots, same inputs =>
+  bit-exact).
 
 Gradient structure notes (why the hand-VJP is tractable): the argmax
 feedbacks (pitch index, duration bits) carry no gradient, so the only
@@ -268,10 +274,11 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
     (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
     refs = rest[:20]
     we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
-    pitch_ref, dur_ref, summ_ref, len_ref = rest[24:]
+    pitch_ref, dur_ref, summ_ref, len_ref = rest[24:28]
+    hs_ref, tok_ref = (rest[28], rest[29]) if len(rest) > 28 else (None, None)
     dtype = frame_h_ref.dtype
 
-    _, _, pred, lengths = _run_forward(
+    hs, tokens, pred, lengths = _run_forward(
         spec, refs, coins_ref, frame_h_ref[:], x_emb_ref, dtype,
         pitch_ref=pitch_ref, dur_ref=dur_ref)
     hf, hb = _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref,
@@ -280,6 +287,15 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
     summ_ref[:, :EH] = hf
     summ_ref[:, EH:] = hb
     len_ref[:] = lengths
+    if hs_ref is not None:
+        # stash the serial-chain states for the backward (differentiation
+        # path only): the slot hiddens and consumed tokens are the ONLY
+        # phase-1 products the backward cannot rebuild with batched dots,
+        # so shipping them (bf16, ~42 MB/frame at B=2048) lets the backward
+        # kernel skip the whole serial forward recompute.
+        for k in range(spec.max_simu_note):
+            hs_ref[k] = hs[k]
+            tok_ref[k] = tokens[k]
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +303,7 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
-    (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
+    (coins_ref, frame_h_ref, x_emb_ref, hs_in_ref, tok_in_ref, *rest) = args
     refs = rest[:20]
     (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
      w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_ref,
@@ -335,10 +351,69 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     col = jax.lax.broadcasted_iota(jnp.int32, (KB, P), 1)
     col_w = jax.lax.broadcasted_iota(jnp.int32, (KB, W), 1)
 
-    # ---- phase 1: recompute the forward (the true serial recurrence)
-    hs, tokens, pred, lengths = _run_forward(
-        spec, refs, coins_ref, frame_h, x_emb_ref, dtype)
+    # ---- phase 1: rebuild everything from the STASHED serial chain. The
+    # forward kernel ships the slot hiddens and consumed tokens — the only
+    # products of the serial recurrence — so the backward runs NO serial
+    # forward recompute: pitch heads, duration chains and predicted
+    # embeddings rebuild as (K-1)*B-row batched dots (per-row dot products
+    # identical to the forward's per-slot dots, deterministic row-wise MXU
+    # accumulation => bit-equal argmax decisions), and only the short
+    # summary bi-GRU recurrence re-runs serially. This removed serial
+    # recompute was the dominant backward cost: it ran once per 256-row
+    # grid block, i.e. 8x the whole forward chain at B=2048.
+    hs = [hs_in_ref[k] for k in range(K)]
+    tokens = [tok_in_ref[k] for k in range(K)]
     gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
+
+    H_all = jnp.concatenate(hs[1:], axis=0)               # (KB, NH) slot k=1..
+    est_all = (dot(H_all, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+    pitch_ind_all = jnp.argmax(est_all.astype(f32), axis=-1).astype(jnp.int32)
+    dhid_in_all = jnp.concatenate([H_all, est_all], axis=-1)
+    hd0_all = (dot(dhid_in_all, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
+
+    gi_d_sos = (dot(dur_sos_ref[:].astype(dtype), w_dih_ref[:])
+                + b_dih_ref[:])                           # (1, 3DH) row
+    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
+    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+    # same combined dur weights as the forward so the recompute is bit-equal
+    w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
+                                 w_dout_ref[:], b_dout_ref[:])
+
+    # Only the hidden states (bf16) and the decided bits stay live across
+    # the chain recompute; the f32 gate tuples — the largest liveness term,
+    # 4 tensors x W steps at (KB, DH) — are recomputed in the backward loop
+    # from those stashes (same dots, same inputs => bit-exact), keeping
+    # 256-row blocks inside VMEM.
+    hds = [hd0_all]
+    bits = []
+    h_d = hd0_all
+    X = dot(hd0_all, w_dcomb) + b_dcomb
+    gi_d = jnp.broadcast_to(gi_d_sos, (KB, gi_d_sos.shape[-1]))
+    for w in range(W):
+        h_d, _ = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
+        h_d = h_d.astype(dtype)
+        hds.append(h_d)
+        X = dot(h_d, w_dcomb) + b_dcomb
+        logit = X[:, 0:2].astype(dtype)
+        bit = jnp.argmax(logit.astype(f32), axis=-1).astype(jnp.int32)
+        bits.append(bit)
+        gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
+    dur_bits_all = jnp.stack(bits, axis=-1)               # (KB, W)
+    pitch_oh_all = (col == pitch_ind_all[:, None]).astype(dtype)
+    emb_in_all = jnp.concatenate(
+        [pitch_oh_all, dur_bits_all.astype(dtype)], axis=-1)
+
+    # predicted-note embeddings + eos lengths, rebuilt batched (forward
+    # semantics: first eos slot, else K-1)
+    emb_all = (dot(emb_in_all, w_emb_ref[:]) + b_emb_ref[:]).astype(dtype)
+    pred = [x_emb_ref[0]] + [emb_all[(k - 1) * B:k * B] for k in range(1, K)]
+    lengths = jnp.zeros((B, 1), jnp.int32)
+    for k in range(1, K):
+        pk = pitch_ind_all[(k - 1) * B:k * B][:, None]
+        is_eos = (pk == spec.pitch_eos) & (lengths == 0)
+        lengths = jnp.where(is_eos, k, lengths)
+    lengths = jnp.where(lengths == 0, K - 1, lengths)
+
     _, _, hf_list, hb_list, gif_all, gib_all = _summary_fwd(
         pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref, dtype,
         keep_states=True)
@@ -409,52 +484,9 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
          jnp.sum(d_ghb_all, axis=0, keepdims=True)]).astype(
         d_be_hh_ref.dtype)
 
-    # ---- phase 2b: batched slot-head + duration-chain recompute AND
-    # backward. Given the phase-1 hidden states the K-1 slots' pitch heads
-    # and duration chains are mutually independent (the only cross-slot path
-    # is the note-GRU hidden chain, handled in phase 2c), so all of them run
-    # with a (K-1)*B batch: the 14x5 serial duration links collapse to 5
-    # wide steps. Per-row dot products are identical to the per-slot forward
-    # (same weights, same inputs, deterministic row-wise MXU accumulation),
-    # so the recomputed argmax decisions are bit-equal to phase 1's.
-    H_all = jnp.concatenate(hs[1:], axis=0)               # (KB, NH) slot k=1..
-    est_all = (dot(H_all, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
-    pitch_ind_all = jnp.argmax(est_all.astype(f32), axis=-1).astype(jnp.int32)
-    dhid_in_all = jnp.concatenate([H_all, est_all], axis=-1)
-    hd0_all = (dot(dhid_in_all, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
-
-    gi_d_sos = (dot(dur_sos_ref[:].astype(dtype), w_dih_ref[:])
-                + b_dih_ref[:])                           # (1, 3DH) row
-    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
-    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
-    # same combined dur weights as the forward so the recompute is bit-equal
-    w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
-                                 w_dout_ref[:], b_dout_ref[:])
-
-    # Only the hidden states (bf16) and the decided bits are stashed; the
-    # f32 gate tuples — the largest liveness term, 4 tensors x W steps at
-    # (KB, DH) — are recomputed in the backward loop from those stashes
-    # (same dots, same inputs => bit-exact), keeping 256-row blocks inside
-    # VMEM.
-    hds = [hd0_all]
-    bits = []
-    h_d = hd0_all
-    X = dot(hd0_all, w_dcomb) + b_dcomb
-    gi_d = jnp.broadcast_to(gi_d_sos, (KB, gi_d_sos.shape[-1]))
-    for w in range(W):
-        h_d, _ = _gru_gates(gi_d, X[:, _DUR_PAD:], h_d)
-        h_d = h_d.astype(dtype)
-        hds.append(h_d)
-        X = dot(h_d, w_dcomb) + b_dcomb
-        logit = X[:, 0:2].astype(dtype)
-        bit = jnp.argmax(logit.astype(f32), axis=-1).astype(jnp.int32)
-        bits.append(bit)
-        gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
-    dur_bits_all = jnp.stack(bits, axis=-1)               # (KB, W)
-    pitch_oh_all = (col == pitch_ind_all[:, None]).astype(dtype)
-    emb_in_all = jnp.concatenate(
-        [pitch_oh_all, dur_bits_all.astype(dtype)], axis=-1)
-
+    # ---- phase 2b: duration-chain + head backward, batched over slots
+    # (the chains were rebuilt in phase 1; the only cross-slot path is the
+    # note-GRU hidden chain, handled in phase 2c).
     def dur_in(w):
         # step-w input token + its hoisted projection, rebuilt from the
         # stashed bits. bit is {0,1}; b*row1 + (1-b)*row0 is value-exact for
@@ -681,7 +713,8 @@ def _specs(bt, coins_shape):
 _VMEM_LIMIT = 120 * 1024 * 1024
 
 
-def _fwd_call(spec, eh, weights, frame_h, x_emb_t, coins, interpret):
+def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
+              stash=False):
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     E = x_emb_t.shape[-1]
@@ -695,29 +728,37 @@ def _fwd_call(spec, eh, weights, frame_h, x_emb_t, coins, interpret):
     x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)   # (K, Bp, E)
     in_specs = [coin_spec, batch_spec(frame_h.shape[1]),
                 batch_spec(K, E, pos=1)] + [wspec(w) for w in weights]
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((K - 1, Bp, P), dtype),
         jax.ShapeDtypeStruct((K - 1, W, Bp, 2), dtype),
         jax.ShapeDtypeStruct((Bp, 2 * eh), dtype),
         jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-    )
-    out_specs = (batch_spec(K - 1, P, pos=1),
+    ]
+    out_specs = [batch_spec(K - 1, P, pos=1),
                  batch_spec(K - 1, W, 2, pos=2),
-                 batch_spec(2 * eh), batch_spec(1))
+                 batch_spec(2 * eh), batch_spec(1)]
+    if stash:
+        out_shape += [jax.ShapeDtypeStruct((K, Bp, nh), dtype),
+                      jax.ShapeDtypeStruct((K, Bp, E), dtype)]
+        out_specs += [batch_spec(K, nh, pos=1), batch_spec(K, E, pos=1)]
     kernel = functools.partial(_fwd_kernel, spec)
-    pitch, dur, summ, lengths = pl.pallas_call(
-        kernel, grid=grid, out_shape=out_shape, in_specs=in_specs,
-        out_specs=out_specs, interpret=interpret,
+    outs = pl.pallas_call(
+        kernel, grid=grid, out_shape=tuple(out_shape), in_specs=in_specs,
+        out_specs=tuple(out_specs), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
     )(coins, frame_h, x_emb_kbe, *weights)
-    return (jnp.swapaxes(pitch[:, :B], 0, 1),
-            jnp.transpose(dur[:, :, :B], (2, 0, 1, 3)),
-            summ[:B], lengths[:B, 0])
+    pitch, dur, summ, lengths = outs[:4]
+    public = (jnp.swapaxes(pitch[:, :B], 0, 1),
+              jnp.transpose(dur[:, :, :B], (2, 0, 1, 3)),
+              summ[:B], lengths[:B, 0])
+    if not stash:
+        return public
+    return public, (outs[4][:, :B], outs[5][:, :B])    # (K, B, NH), (K, B, E)
 
 
 def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
-              d_pitch, d_dur, d_summ, interpret):
+              hs_st, tok_st, d_pitch, d_dur, d_summ, interpret):
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     bt = _pick_block_bwd(B)
@@ -729,10 +770,14 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     frame_h = _pad_rows(frame_h, 0, Bp)
     d_summ = _pad_rows(d_summ, 0, Bp)
     x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)    # (K, Bp, E)
+    hs_st = _pad_rows(hs_st, 1, Bp)                              # (K, Bp, NH)
+    tok_st = _pad_rows(tok_st, 1, Bp)                            # (K, Bp, E)
     d_pitch_k = _pad_rows(jnp.swapaxes(d_pitch, 0, 1), 1, Bp)    # (K-1,Bp,P)
     d_dur_k = _pad_rows(jnp.transpose(d_dur, (1, 2, 0, 3)), 2, Bp)
 
     in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
+                 batch_spec(K, E, pos=1),
+                 batch_spec(K, hs_st.shape[-1], pos=1),
                  batch_spec(K, E, pos=1)]
                 + [wspec(w) for w in weights]
                 + [batch_spec(K - 1, P, pos=1),
@@ -753,7 +798,8 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
         # 256-row blocks — grant it the full space (measured 123M peak)
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(coins, frame_h, x_emb_kbe, *weights, d_pitch_k, d_dur_k, d_summ)
+    )(coins, frame_h, x_emb_kbe, hs_st, tok_st, *weights,
+      d_pitch_k, d_dur_k, d_summ)
     d_frame_h, d_x_emb = outs[0][:B], jnp.swapaxes(outs[1][:, :B], 0, 1)
     d_weights = tuple(g.astype(w.dtype)
                       for g, w in zip(outs[2:], weights))
@@ -772,22 +818,29 @@ def frame_core(cfg: ModelConfig, interpret: bool,
     Returns (pitch_logits (B, K-1, P), dur_logits (B, K-1, W, 2),
              pred_summary (B, 2*emb_hidden), lengths (B,) i32).
     """
-    return _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, weights, frame_h,
-                     x_emb_t, coins, interpret)
+    return _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, cfg.dec_notes_hidden,
+                     weights, frame_h, x_emb_t, coins, interpret)
 
 
 def _frame_core_fwd(cfg, interpret, weights, frame_h, x_emb_t, coins):
-    out = _fwd_call(cfg.pianotree, cfg.dec_emb_hidden, weights, frame_h,
-                    x_emb_t, coins, interpret)
-    return out, (weights, frame_h, x_emb_t, coins)
+    # stash=True ships the serial-chain states (slot hiddens + consumed
+    # tokens) to the backward so it runs no serial forward recompute. Under
+    # remat_frames the fwd kernel re-runs per frame at backward time, so the
+    # stash is live for one frame only (~16 MB at B=2048 bf16), not the
+    # whole sequence.
+    out, (hs_st, tok_st) = _fwd_call(
+        cfg.pianotree, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights,
+        frame_h, x_emb_t, coins, interpret, stash=True)
+    return out, (weights, frame_h, x_emb_t, coins, hs_st, tok_st)
 
 
 def _frame_core_bwd(cfg, interpret, res, cts):
-    weights, frame_h, x_emb_t, coins = res
+    weights, frame_h, x_emb_t, coins, hs_st, tok_st = res
     d_pitch, d_dur, d_summ, _ = cts
     d_frame_h, d_x_emb, d_weights = _bwd_call(
         cfg.pianotree, cfg.dec_notes_hidden, cfg.dec_emb_hidden, weights,
-        frame_h, x_emb_t, coins, d_pitch, d_dur, d_summ, interpret)
+        frame_h, x_emb_t, coins, hs_st, tok_st, d_pitch, d_dur, d_summ,
+        interpret)
     d_coins = np.zeros(coins.shape, jax.dtypes.float0)
     return d_weights, d_frame_h, d_x_emb, d_coins
 
