@@ -143,12 +143,15 @@ def _argmax_bit(logit):
 # shared forward body (traced inside both kernels)
 # ---------------------------------------------------------------------------
 
-def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
+def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
                  pitch_ref=None, dur_ref=None):
     """The frame forward. Returns (hs, tokens, pred, lengths) where
     hs[k] = note-GRU hidden after slot k (h[0] = initial), tokens[k] = the
     token consumed by slot k+1, pred[k] = the predicted-note embedding of
     slot k (pred[0] = gt sos token). Writes logits when refs are given.
+    ``coin_fn(k)`` returns slot k's scalar teacher coin (int, != 0 means
+    teacher) — a function so the per-frame and fused-sequence kernels can
+    index their differently-shaped SMEM coin tensors.
 
     Duration-chain input projections are hoisted: the sos projection is one
     dot per kernel call, and the post-sos token is a {0,1} one-hot so its
@@ -221,7 +224,7 @@ def _run_forward(spec, refs, coins_ref, frame_h, x_emb_ref, dtype,
         pred.append(emb)
         is_eos = (pitch_ind[:, None] == spec.pitch_eos) & (lengths == 0)
         lengths = jnp.where(is_eos, k, lengths)
-        coin = coins_ref[k - 1, 0] != 0
+        coin = coin_fn(k) != 0
         token = jnp.where(coin, x_emb_ref[k], emb)
         tokens.append(token)
 
@@ -279,8 +282,8 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
     dtype = frame_h_ref.dtype
 
     hs, tokens, pred, lengths = _run_forward(
-        spec, refs, coins_ref, frame_h_ref[:], x_emb_ref, dtype,
-        pitch_ref=pitch_ref, dur_ref=dur_ref)
+        spec, refs, lambda k: coins_ref[k - 1, 0], frame_h_ref[:], x_emb_ref,
+        dtype, pitch_ref=pitch_ref, dur_ref=dur_ref)
     hf, hb = _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref,
                           be_hh_ref, dtype)
     EH = we_hh_ref.shape[1]
@@ -302,26 +305,25 @@ def _fwd_kernel(spec: PianoTreeSpec, *args):
 # backward kernel: recompute fwd in VMEM, then reverse
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
-    (coins_ref, frame_h_ref, x_emb_ref, hs_in_ref, tok_in_ref, *rest) = args
-    refs = rest[:20]
-    (w_t2n_ref, b_t2n_ref, w_ih_frame_ref, w_ih_tok_ref, b_ih_ref,
-     w_hh_ref, b_hh_ref, w_pitch_ref, b_pitch_ref, w_dhid_ref,
-     b_dhid_ref, w_dih_ref, b_dih_ref, w_dhh_ref, b_dhh_ref,
-     w_dout_ref, b_dout_ref, w_emb_ref, b_emb_ref,
-     dur_sos_ref) = refs
-    we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
-    d_pitch_ref, d_dur_ref, d_summ_ref = rest[24:27]
-    (d_frame_h_ref, d_x_emb_ref,
-     d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref, d_w_ih_tok_ref, d_b_ih_ref,
-     d_w_hh_ref, d_b_hh_ref, d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_ref,
-     d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref, d_w_dhh_ref,
-     d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref, d_w_emb_ref,
-     d_b_emb_ref, d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
-     d_be_hh_ref) = rest[27:]
+_WNAMES = ("w_t2n", "b_t2n", "w_ih_frame", "w_ih_tok", "b_ih", "w_hh",
+           "b_hh", "w_pitch", "b_pitch", "w_dhid", "b_dhid", "w_dih",
+           "b_dih", "w_dhh", "b_dhh", "w_dout", "b_dout", "w_emb", "b_emb",
+           "dur_sos", "we_ih", "we_hh", "be_ih", "be_hh")
 
+
+def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
+                    hs, tokens, x_emb0, d_pitch, d_dur, d_summ, add):
+    """Hand-differentiated frame backward, ref-free so the per-frame kernel
+    (_bwd_kernel) and the fused-sequence kernel (train_seq) share it.
+
+    wts: dict name -> weight ARRAY (see _WNAMES); coin_fn(k): slot k's
+    scalar teacher coin; frame_h (B, TH); hs/tokens: the stashed serial
+    chain (K entries each); x_emb0 (B, E) = the gt sos token; d_pitch
+    (K-1, B, P), d_dur (K-1, W, B, 2), d_summ (B, 2*EH) cotangents.
+    add(name, val): f32 weight-grad accumulator. Returns (d_frame_h f32,
+    d_x_rows — list of K (B, E) cotangent rows in compute dtype)."""
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
-    B = frame_h_ref.shape[0]
+    B = frame_h.shape[0]
     KB = (K - 1) * B
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -331,23 +333,13 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             x, dy, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dtype = frame_h_ref.dtype
+    dtype = frame_h.dtype
     f32 = jnp.float32
-
-    # zero the accumulated outputs on the first grid block
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for ref in (d_w_t2n_ref, d_b_t2n_ref, d_w_ih_frame_ref,
-                    d_w_ih_tok_ref, d_b_ih_ref, d_w_hh_ref, d_b_hh_ref,
-                    d_w_pitch_ref, d_b_pitch_ref, d_w_dhid_ref,
-                    d_b_dhid_ref, d_w_dih_ref, d_b_dih_ref,
-                    d_w_dhh_ref, d_b_dhh_ref, d_w_dout_ref, d_b_dout_ref,
-                    d_w_emb_ref, d_b_emb_ref,
-                    d_dur_sos_ref, d_we_ih_ref, d_we_hh_ref, d_be_ih_ref,
-                    d_be_hh_ref):
-            ref[...] = jnp.zeros(ref.shape, ref.dtype)
-
-    frame_h = frame_h_ref[:]
+    (w_ih_frame, b_ih, w_pitch, b_pitch, w_dhid, b_dhid, w_dih, b_dih,
+     w_dout, w_emb, b_emb, dur_sos) = (
+        wts["w_ih_frame"], wts["b_ih"], wts["w_pitch"], wts["b_pitch"],
+        wts["w_dhid"], wts["b_dhid"], wts["w_dih"], wts["b_dih"],
+        wts["w_dout"], wts["w_emb"], wts["b_emb"], wts["dur_sos"])
     col = jax.lax.broadcasted_iota(jnp.int32, (KB, P), 1)
     col_w = jax.lax.broadcasted_iota(jnp.int32, (KB, W), 1)
 
@@ -361,23 +353,21 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     # summary bi-GRU recurrence re-runs serially. This removed serial
     # recompute was the dominant backward cost: it ran once per 256-row
     # grid block, i.e. 8x the whole forward chain at B=2048.
-    hs = [hs_in_ref[k] for k in range(K)]
-    tokens = [tok_in_ref[k] for k in range(K)]
-    gi_frame = dot(frame_h, w_ih_frame_ref[:]) + b_ih_ref[:]
+    gi_frame = dot(frame_h, w_ih_frame) + b_ih
 
     H_all = jnp.concatenate(hs[1:], axis=0)               # (KB, NH) slot k=1..
-    est_all = (dot(H_all, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
+    est_all = (dot(H_all, w_pitch) + b_pitch).astype(dtype)
     pitch_ind_all = jnp.argmax(est_all.astype(f32), axis=-1).astype(jnp.int32)
     dhid_in_all = jnp.concatenate([H_all, est_all], axis=-1)
-    hd0_all = (dot(dhid_in_all, w_dhid_ref[:]) + b_dhid_ref[:]).astype(dtype)
+    hd0_all = (dot(dhid_in_all, w_dhid) + b_dhid).astype(dtype)
 
-    gi_d_sos = (dot(dur_sos_ref[:].astype(dtype), w_dih_ref[:])
-                + b_dih_ref[:])                           # (1, 3DH) row
-    gi_d_row0 = w_dih_ref[0:1, :] + b_dih_ref[:]
-    gi_d_row1 = w_dih_ref[1:2, :] + b_dih_ref[:]
+    gi_d_sos = (dot(dur_sos.astype(dtype), w_dih)
+                + b_dih)                                  # (1, 3DH) row
+    gi_d_row0 = w_dih[0:1, :] + b_dih
+    gi_d_row1 = w_dih[1:2, :] + b_dih
     # same combined dur weights as the forward so the recompute is bit-equal
-    w_dcomb, b_dcomb = _dur_comb(w_dhh_ref[:], b_dhh_ref[:],
-                                 w_dout_ref[:], b_dout_ref[:])
+    w_dcomb, b_dcomb = _dur_comb(wts["w_dhh"], wts["b_dhh"],
+                                 w_dout, wts["b_dout"])
 
     # Only the hidden states (bf16) and the decided bits stay live across
     # the chain recompute; the f32 gate tuples — the largest liveness term,
@@ -405,8 +395,8 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
 
     # predicted-note embeddings + eos lengths, rebuilt batched (forward
     # semantics: first eos slot, else K-1)
-    emb_all = (dot(emb_in_all, w_emb_ref[:]) + b_emb_ref[:]).astype(dtype)
-    pred = [x_emb_ref[0]] + [emb_all[(k - 1) * B:k * B] for k in range(1, K)]
+    emb_all = (dot(emb_in_all, w_emb) + b_emb).astype(dtype)
+    pred = [x_emb0] + [emb_all[(k - 1) * B:k * B] for k in range(1, K)]
     lengths = jnp.zeros((B, 1), jnp.int32)
     for k in range(1, K):
         pk = pitch_ind_all[(k - 1) * B:k * B][:, None]
@@ -415,39 +405,34 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     lengths = jnp.where(lengths == 0, K - 1, lengths)
 
     _, _, hf_list, hb_list, gif_all, gib_all = _summary_fwd(
-        pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref, dtype,
-        keep_states=True)
-
-    acc = {}
-
-    def add(ref, val):
-        key = id(ref)
-        acc[key] = (ref, val if key not in acc else acc[key][1] + val)
+        pred, lengths, wts["we_ih"], wts["we_hh"], wts["be_ih"],
+        wts["be_hh"], dtype, keep_states=True)
 
     # ---- phase 2a: summary bi-GRU backward. The serial loop keeps only the
     # gate math and the d_gh @ w_hh.T recurrence dot: the hidden-side gate
     # projections batch upfront (states are saved), and every d_pred /
     # weight-grad dot defers into ONE batched dot after the loop.
-    EH = we_hh_ref.shape[1]
+    we_ih, we_hh, be_hh = wts["we_ih"], wts["we_hh"], wts["be_hh"]
+    EH = we_hh.shape[1]
     hf_stack = jnp.concatenate(hf_list[:K], axis=0)       # states BEFORE k
     hb_stack = jnp.concatenate(hb_list[:K], axis=0)
-    ghf_all = (dot(hf_stack, we_hh_ref[0]) + be_hh_ref[0:1, :]).reshape(
+    ghf_all = (dot(hf_stack, we_hh[0]) + be_hh[0:1, :]).reshape(
         K, B, 3 * EH)
-    ghb_all = (dot(hb_stack, we_hh_ref[1]) + be_hh_ref[1:2, :]).reshape(
+    ghb_all = (dot(hb_stack, we_hh[1]) + be_hh[1:2, :]).reshape(
         K, B, 3 * EH)
 
     d_gif_steps = [None] * K            # fwd dir, step k consumed pred[k]
     d_ghf_steps = [None] * K
     d_gib_steps = [None] * K            # bwd dir, step k consumed pred[K-1-k]
     d_ghb_steps = [None] * K
-    d_hf = d_summ_ref[:, :EH].astype(f32)
-    d_hb = d_summ_ref[:, EH:].astype(f32)
+    d_hf = d_summ[:, :EH].astype(f32)
+    d_hb = d_summ[:, EH:].astype(f32)
     for k in range(K - 1, -1, -1):
         mf = (k < lengths).astype(f32)
         hf_prev = hf_list[k]
         _, (r, z, n, h_n) = _gru_gates(gif_all[k], ghf_all[k], hf_prev)
         d_gi, dh_prev, d_gh = _gru_bwd(mf * d_hf, hf_prev, r, z, n, h_n,
-                                       we_hh_ref[0])
+                                       we_hh[0])
         d_gif_steps[k], d_ghf_steps[k] = d_gi, d_gh
         d_hf = (1.0 - mf) * d_hf + dh_prev
 
@@ -456,7 +441,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         hb_prev = hb_list[k]
         _, (rb, zb, nb, h_nb) = _gru_gates(gib_all[kb], ghb_all[k], hb_prev)
         d_gib, dhb_prev, d_ghb = _gru_bwd(mb * d_hb, hb_prev, rb, zb, nb,
-                                          h_nb, we_hh_ref[1])
+                                          h_nb, we_hh[1])
         d_gib_steps[k], d_ghb_steps[k] = d_gib, d_ghb
         d_hb = (1.0 - mb) * d_hb + dhb_prev
 
@@ -467,22 +452,18 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     d_gib_slot = jnp.concatenate(d_gib_steps[::-1], axis=0)
     d_ghb_all = jnp.concatenate(d_ghb_steps, axis=0)      # step order
     hbk = tokens[0].shape[-1]
-    d_pred_all = (dot(d_gif_all, we_ih_ref[0].T) +
-                  dot(d_gib_slot, we_ih_ref[1].T)).reshape(K, B, hbk)
-    d_we_ih_ref[...] += jnp.stack(
-        [wgrad(pred_stack, d_gif_all),
-         wgrad(pred_stack, d_gib_slot)]).astype(d_we_ih_ref.dtype)
-    d_we_hh_ref[...] += jnp.stack(
-        [wgrad(hf_stack, d_ghf_all),
-         wgrad(hb_stack, d_ghb_all)]).astype(d_we_hh_ref.dtype)
-    d_be_ih_ref[...] += jnp.concatenate(
+    d_pred_all = (dot(d_gif_all, we_ih[0].T) +
+                  dot(d_gib_slot, we_ih[1].T)).reshape(K, B, hbk)
+    add("we_ih", jnp.stack([wgrad(pred_stack, d_gif_all),
+                            wgrad(pred_stack, d_gib_slot)]))
+    add("we_hh", jnp.stack([wgrad(hf_stack, d_ghf_all),
+                            wgrad(hb_stack, d_ghb_all)]))
+    add("be_ih", jnp.concatenate(
         [jnp.sum(d_gif_all, axis=0, keepdims=True),
-         jnp.sum(d_gib_slot, axis=0, keepdims=True)]).astype(
-        d_be_ih_ref.dtype)
-    d_be_hh_ref[...] += jnp.concatenate(
+         jnp.sum(d_gib_slot, axis=0, keepdims=True)]))
+    add("be_hh", jnp.concatenate(
         [jnp.sum(d_ghf_all, axis=0, keepdims=True),
-         jnp.sum(d_ghb_all, axis=0, keepdims=True)]).astype(
-        d_be_hh_ref.dtype)
+         jnp.sum(d_ghb_all, axis=0, keepdims=True)]))
 
     # ---- phase 2b: duration-chain + head backward, batched over slots
     # (the chains were rebuilt in phase 1; the only cross-slot path is the
@@ -492,7 +473,7 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
         # stashed bits. bit is {0,1}; b*row1 + (1-b)*row0 is value-exact for
         # finite rows (the not-taken branch contributes exactly zero).
         if w == 0:
-            return (jnp.broadcast_to(dur_sos_ref[:], (KB, W)).astype(dtype),
+            return (jnp.broadcast_to(dur_sos, (KB, W)).astype(dtype),
                     jnp.broadcast_to(gi_d_sos, (KB, gi_d_sos.shape[-1])))
         # i1-compare -> f32 (Mosaic cannot legalize a direct i32 sitofp)
         b1 = (bits[w - 1][:, None] == 1).astype(f32)
@@ -502,22 +483,22 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     # duration backward, batched over slots (feedback tokens carry no grad)
     d_hd = jnp.zeros((KB, hds[0].shape[-1]), f32)
     for w in range(W - 1, -1, -1):
-        d_logit = d_dur_ref[:, w].reshape(KB, 2).astype(f32)
-        add(d_w_dout_ref, wgrad(hds[w + 1], d_logit))
-        add(d_b_dout_ref, jnp.sum(d_logit, axis=0, keepdims=True))
-        d_hd = d_hd + dot(d_logit, w_dout_ref[:].T)
+        d_logit = d_dur[:, w].reshape(KB, 2).astype(f32)
+        add("w_dout", wgrad(hds[w + 1], d_logit))
+        add("b_dout", jnp.sum(d_logit, axis=0, keepdims=True))
+        d_hd = d_hd + dot(d_logit, w_dout.T)
         token_w, gi_d_w = dur_in(w)
         gh_w = (dot(hds[w], w_dcomb) + b_dcomb)[:, _DUR_PAD:]
         _, (r, z, n, h_n) = _gru_gates(gi_d_w, gh_w, hds[w])
         d_gi_d, d_hd, d_gh_d = _gru_bwd(d_hd, hds[w], r, z, n, h_n,
-                                        w_dhh_ref[:])
-        add(d_w_dih_ref, wgrad(token_w, d_gi_d))
-        add(d_b_dih_ref, jnp.sum(d_gi_d, axis=0, keepdims=True))
-        add(d_w_dhh_ref, wgrad(hds[w], d_gh_d))
-        add(d_b_dhh_ref, jnp.sum(d_gh_d, axis=0, keepdims=True))
+                                        wts["w_dhh"])
+        add("w_dih", wgrad(token_w, d_gi_d))
+        add("b_dih", jnp.sum(d_gi_d, axis=0, keepdims=True))
+        add("w_dhh", wgrad(hds[w], d_gh_d))
+        add("b_dhh", jnp.sum(d_gh_d, axis=0, keepdims=True))
         if w == 0:
-            add(d_dur_sos_ref,
-                jnp.sum(dot(d_gi_d, w_dih_ref[:].T), axis=0, keepdims=True))
+            add("dur_sos",
+                jnp.sum(dot(d_gi_d, w_dih.T), axis=0, keepdims=True))
 
     # project the chains' cotangents back to the note hiddens, batched.
     # w_dhid's weight grad is computed from the H / est halves separately:
@@ -525,23 +506,25 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     # is bit-identical to wgrad(concat, d) — and it lets the (KB, NH+P)
     # dhid_in_all concat die right after the hd0_all dot (~4.6M of VMEM
     # liveness at 256-row blocks).
-    d_dhid_in = dot(d_hd, w_dhid_ref[:].T)                # (KB, NH + P)
-    add(d_w_dhid_ref,
+    d_dhid_in = dot(d_hd, w_dhid.T)                       # (KB, NH + P)
+    add("w_dhid",
         jnp.concatenate([wgrad(H_all, d_hd), wgrad(est_all, d_hd)]))
-    add(d_b_dhid_ref, jnp.sum(d_hd, axis=0, keepdims=True))
-    d_est = d_pitch_ref[:].reshape(KB, P).astype(f32) + d_dhid_in[:, nh:]
-    add(d_w_pitch_ref, wgrad(H_all, d_est))
-    add(d_b_pitch_ref, jnp.sum(d_est, axis=0, keepdims=True))
-    dh_inj = (d_dhid_in[:, :nh] + dot(d_est, w_pitch_ref[:].T)).reshape(
+    add("b_dhid", jnp.sum(d_hd, axis=0, keepdims=True))
+    d_est = d_pitch.reshape(KB, P).astype(f32) + d_dhid_in[:, nh:]
+    add("w_pitch", wgrad(H_all, d_est))
+    add("b_pitch", jnp.sum(d_est, axis=0, keepdims=True))
+    dh_inj = (d_dhid_in[:, :nh] + dot(d_est, w_pitch.T)).reshape(
         K - 1, B, nh)
 
     # ---- phase 2c: note-GRU reverse recurrence. Only the gate math and the
     # d_gh @ w_hh.T dot are serially dependent; the gate-projection dots for
     # slot k-1 issue one iteration EARLY so their latency hides behind the
     # recurrence, and the d_token dots / weight grads ride off-path.
+    w_ih_tok, w_hh, b_hh = wts["w_ih_tok"], wts["w_hh"], wts["b_hh"]
+
     def note_gates(k):
-        return (gi_frame + dot(tokens[k - 1], w_ih_tok_ref[:]),
-                dot(hs[k - 1], w_hh_ref[:]) + b_hh_ref[:])
+        return (gi_frame + dot(tokens[k - 1], w_ih_tok),
+                dot(hs[k - 1], w_hh) + b_hh)
 
     d_gi_frame = jnp.zeros((B, 3 * nh), f32)
     dh_next = jnp.zeros((B, nh), f32)       # d wrt h_k flowing down the chain
@@ -553,13 +536,12 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             gigh = note_gates(k - 1)
         _, (r, z, n, h_n) = _gru_gates(gi_k, gh_k, hs[k - 1])
         dh_k = dh_next + dh_inj[k - 1]
-        d_gi, dh_prev, d_gh = _gru_bwd(dh_k, hs[k - 1], r, z, n, h_n,
-                                       w_hh_ref[:])
-        add(d_w_hh_ref, wgrad(hs[k - 1], d_gh))
-        add(d_b_hh_ref, jnp.sum(d_gh, axis=0, keepdims=True))
-        add(d_w_ih_tok_ref, wgrad(tokens[k - 1], d_gi))
+        d_gi, dh_prev, d_gh = _gru_bwd(dh_k, hs[k - 1], r, z, n, h_n, w_hh)
+        add("w_hh", wgrad(hs[k - 1], d_gh))
+        add("b_hh", jnp.sum(d_gh, axis=0, keepdims=True))
+        add("w_ih_tok", wgrad(tokens[k - 1], d_gi))
         d_gi_frame = d_gi_frame + d_gi
-        d_token[k - 1] = dot(d_gi, w_ih_tok_ref[:].T)
+        d_token[k - 1] = dot(d_gi, w_ih_tok.T)
         dh_next = dh_prev
 
     # ---- phase 2d: emb grads + x_emb cotangents, batched over slots.
@@ -567,30 +549,57 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
     # token, the next slot's input (d_token); the ground-truth branch routes
     # d_token into d_x_emb instead. Slot 0's token IS x_emb[:, 0].
     d_emb_rows = []
-    d_x_rows = [(d_token[0] + d_pred_all[0]).astype(d_x_emb_ref.dtype)]
+    d_x_rows = [(d_token[0] + d_pred_all[0]).astype(dtype)]
     for k in range(1, K):
-        coin = coins_ref[k - 1, 0] != 0
+        coin = coin_fn(k) != 0
         d_tok_k = d_token[k]
         d_emb_rows.append(d_pred_all[k] + jnp.where(coin, 0.0, d_tok_k))
-        d_x_rows.append(jnp.where(coin, d_tok_k, 0.0).astype(
-            d_x_emb_ref.dtype))
+        d_x_rows.append(jnp.where(coin, d_tok_k, 0.0).astype(dtype))
     d_emb_all = jnp.concatenate(d_emb_rows, axis=0)       # (KB, E) slot k=1..
-    add(d_w_emb_ref, wgrad(emb_in_all, d_emb_all))
-    add(d_b_emb_ref, jnp.sum(d_emb_all, axis=0, keepdims=True))
-    d_x_emb_ref[...] = jnp.stack(d_x_rows)
+    add("w_emb", wgrad(emb_in_all, d_emb_all))
+    add("b_emb", jnp.sum(d_emb_all, axis=0, keepdims=True))
 
     # h0 and gi_frame inputs
-    add(d_w_t2n_ref, wgrad(frame_h, dh_next))
-    add(d_b_t2n_ref, jnp.sum(dh_next, axis=0, keepdims=True))
-    add(d_w_ih_frame_ref, wgrad(frame_h, d_gi_frame))
-    add(d_b_ih_ref, jnp.sum(d_gi_frame, axis=0, keepdims=True))
-    d_frame_h = dot(dh_next, w_t2n_ref[:].T) + \
-        dot(d_gi_frame, w_ih_frame_ref[:].T)
+    add("w_t2n", wgrad(frame_h, dh_next))
+    add("b_t2n", jnp.sum(dh_next, axis=0, keepdims=True))
+    add("w_ih_frame", wgrad(frame_h, d_gi_frame))
+    add("b_ih", jnp.sum(d_gi_frame, axis=0, keepdims=True))
+    d_frame_h = dot(dh_next, wts["w_t2n"].T) + \
+        dot(d_gi_frame, w_ih_frame.T)
+    return d_frame_h, d_x_rows
+
+
+def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
+    (coins_ref, frame_h_ref, x_emb_ref, hs_in_ref, tok_in_ref, *rest) = args
+    refs = rest[:24]
+    d_pitch_ref, d_dur_ref, d_summ_ref = rest[24:27]
+    d_frame_h_ref, d_x_emb_ref = rest[27:29]
+    grad_refs = rest[29:]                   # one per _WNAMES entry, in order
+    K = spec.max_simu_note
+
+    # zero the accumulated weight-grad outputs on the first grid block
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in grad_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    acc = {}
+
+    def add(name, val):
+        acc[name] = val if name not in acc else acc[name] + val
+
+    wts = dict(zip(_WNAMES, (r[:] for r in refs)))
+    d_frame_h, d_x_rows = _frame_bwd_core(
+        spec, nh, wts, lambda k: coins_ref[k - 1, 0], frame_h_ref[:],
+        [hs_in_ref[k] for k in range(K)],
+        [tok_in_ref[k] for k in range(K)], x_emb_ref[0],
+        d_pitch_ref[:], d_dur_ref[:], d_summ_ref[:], add)
     d_frame_h_ref[:] = d_frame_h.astype(d_frame_h_ref.dtype)
+    d_x_emb_ref[...] = jnp.stack(d_x_rows)
 
     # flush weight-grad accumulators (+= across grid blocks)
-    for ref, val in acc.values():
-        ref[...] += val.astype(ref.dtype)
+    for name, ref in zip(_WNAMES, grad_refs):
+        ref[...] += acc[name].astype(ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -824,10 +833,11 @@ def frame_core(cfg: ModelConfig, interpret: bool,
 
 def _frame_core_fwd(cfg, interpret, weights, frame_h, x_emb_t, coins):
     # stash=True ships the serial-chain states (slot hiddens + consumed
-    # tokens) to the backward so it runs no serial forward recompute. Under
-    # remat_frames the fwd kernel re-runs per frame at backward time, so the
-    # stash is live for one frame only (~16 MB at B=2048 bf16), not the
-    # whole sequence.
+    # tokens) to the backward so it runs no serial forward recompute. The
+    # kernel path runs WITHOUT jax.checkpoint (wrapping it replays the fwd
+    # kernel redundantly, measured 6275 vs 7449 seg/s), so the stash of all
+    # T frames is live across the fwd/bwd gap: ~1.3 GB at B=2048 bf16
+    # canonical dims — a few ms of HBM traffic against a 16 GB chip.
     out, (hs_st, tok_st) = _fwd_call(
         cfg.pianotree, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights,
         frame_h, x_emb_t, coins, interpret, stash=True)
