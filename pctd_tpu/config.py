@@ -117,6 +117,14 @@ class ModelConfig:
     # checkpoint semantics — so remat_frames is moot on this path).
     train_frame_kernel: bool = False
 
+    # Fold the time-level GRU into the kernel too (ops/pallas/train_seq):
+    # the ENTIRE teacher-forced decode — all 32 frames — runs as ONE fused
+    # forward and ONE fused backward kernel, the time-GRU carry living in
+    # VMEM scratch across frames instead of a lax.scan carry in HBM, and all
+    # weights/weight-grad accumulators staying VMEM-resident across the
+    # sequence. Supersedes train_frame_kernel when set.
+    train_seq_kernel: bool = False
+
     @property
     def z_dim(self) -> int:
         return self.chd_z_dim + self.txt_z_dim

@@ -446,6 +446,25 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     w_tok = p["time_gru"].w_ih[:tok_dim]
     gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
 
+    if cfg.train_seq_kernel and not inference:
+        # whole-sequence fused kernel: time + note + dur levels in ONE
+        # forward and ONE backward pallas_call (ops/pallas/train_seq)
+        from pctd_tpu.ops.pallas.train_seq import seq_core, seq_weights
+
+        if jax.default_backend() != "tpu":
+            import warnings
+
+            warnings.warn(
+                "train_seq_kernel on a non-TPU backend runs the Pallas "
+                "kernels in INTERPRET mode — orders of magnitude slower "
+                "than the XLA path; intended for tests only", stacklevel=2)
+        interp = jax.default_backend() != "tpu"
+        c1_i = c1.astype(jnp.int32).reshape(T, 1)
+        c2_i = c2[:, 1:].astype(jnp.int32)
+        pitch, dur = seq_core(cfg, interp, seq_weights(p, cfg), h0, token0,
+                              gi_z, x_emb, x_summary, c1_i, c2_i)
+        return DecoderOutput(pitch, dur)
+
     use_kernel = cfg.train_frame_kernel and not inference
     if use_kernel:
         from pctd_tpu.ops.pallas.train_frame import core_weights, frame_core

@@ -79,7 +79,8 @@ def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
     """
     if tcfg.accum_steps > 0:
         return tcfg.accum_steps
-    envelope = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel) else 512
+    envelope = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel
+                        or mcfg.train_seq_kernel) else 512
     B = tcfg.batch_size
     ideal = max(1, -(-B // envelope))
     need = ideal
