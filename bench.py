@@ -49,7 +49,8 @@ def _median_time(chain, label: str, repeats: int = REPEATS):
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
                       with_cost: bool = False, remat: bool = False,
-                      unroll_dur: int = 1, frame_kernel: bool = False):
+                      unroll_dur: int = 1, frame_kernel: bool = False,
+                      seq_kernel: bool = False):
     import dataclasses
 
     import jax
@@ -67,7 +68,8 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     # accounting correct — the recompute happens either way.
     mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
                                remat_frames=remat, unroll_dur=unroll_dur,
-                               train_frame_kernel=frame_kernel)
+                               train_frame_kernel=frame_kernel,
+                               train_seq_kernel=seq_kernel)
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -102,7 +104,8 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
         return (time.perf_counter() - t0) / n_steps
 
     label = f"train_b{batch_size}_{compute_dtype}" + \
-        ("_kernel" if frame_kernel else "")
+        ("_seq_kernel" if seq_kernel else
+         "_kernel" if frame_kernel else "")
     dt = _median_time(chain, label)
 
     # per-step host-synced variant for reference
@@ -269,6 +272,18 @@ def main():
     big = _bench_train_step(n_steps=8, batch_size=2048,
                             compute_dtype="bfloat16", with_cost=True,
                             remat=True, frame_kernel=True)
+    # whole-sequence fused kernel (time level folded in, ops/pallas/
+    # train_seq); the headline below is the measured best of the two
+    big_seq = _bench_train_step(n_steps=8, batch_size=2048,
+                                compute_dtype="bfloat16", with_cost=True,
+                                seq_kernel=True)
+    if big_seq["segments_per_sec"] > big["segments_per_sec"]:
+        big, big_alt, alt_note = big_seq, big, "per-frame kernel"
+        note = ("fused whole-sequence Pallas kernel "
+                "(time+note+dur levels, hand-written VJP)")
+    else:
+        big_alt, alt_note = big_seq, "whole-sequence kernel"
+        note = "fused train-frame Pallas kernel (hand-written VJP)"
     # the XLA nested-scan path at the same shape (frame remat + dur unroll)
     big_xla = _bench_train_step(n_steps=8, batch_size=2048,
                                 compute_dtype="bfloat16",
@@ -310,8 +325,12 @@ def main():
             "throughput_config": {k: (round(v, 5) if isinstance(v, float)
                                       else v)
                                   for k, v in big.items()},
-            "throughput_config_note": "fused train-frame Pallas kernel "
-                                      "(hand-written VJP)",
+            "throughput_config_note": note,
+            "train_b2048_bf16_alt_kernel": {
+                "which": alt_note,
+                "segments_per_sec": round(big_alt["segments_per_sec"], 2),
+                "step_seconds": round(big_alt["step_seconds"], 5),
+            },
             "train_b2048_bf16_xla_scans": {
                 "segments_per_sec": round(big_xla["segments_per_sec"], 2),
                 "step_seconds": round(big_xla["step_seconds"], 5),
