@@ -105,6 +105,29 @@ def test_coin_extremes_fwd():
                                    np.asarray(out_x.dur_logits), atol=2e-5)
 
 
+def test_fwd_parity_stretch_T():
+    """A non-default sequence length (the 32-bar stretch uses num_step=128)
+    must flow through the (blocks, T) grid, the SMEM coin tables and every
+    t-indexed window — catches hardcoded-T assumptions (T=8 keeps interpret
+    mode fast; the kernel is generic in T)."""
+    spec8 = dataclasses.replace(SMALL.pianotree, num_step=8)
+    base = dataclasses.replace(SMALL, pianotree=spec8)
+    seq = dataclasses.replace(base, train_seq_kernel=True)
+    B, T, K = 3, 8, spec8.max_simu_note
+    p = ptd.init(jax.random.PRNGKey(2), base)
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    x_emb = jax.random.normal(ks[0], (B, T, K, SMALL.note_emb_size))
+    lengths = jax.random.randint(ks[1], (B, T), 1, K)
+    z = jax.random.normal(ks[2], (B, base.z_dim))
+    c1, c2 = ptd.draw_coins(jax.random.PRNGKey(6), base, 0.5, 0.5)
+    out_x = ptd.decode(p, base, z, x_emb, lengths, c1, c2)
+    out_k = ptd.decode(p, seq, z, x_emb, lengths, c1, c2)
+    np.testing.assert_allclose(np.asarray(out_k.pitch_logits),
+                               np.asarray(out_x.pitch_logits), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k.dur_logits),
+                               np.asarray(out_x.dur_logits), atol=2e-5)
+
+
 def test_block_pickers():
     assert ts._pick_block_fwd(2048) == 512
     assert ts._pick_block_fwd(256) == 256
