@@ -222,7 +222,9 @@ def _seq_bwd_kernel(spec, T: int, nh: int, *args):
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-_BLOCK_OVERRIDE = None          # tests force small blocks
+_BLOCK_OVERRIDE = None          # tests force small blocks (both kernels)
+_FWD_BLOCK_OVERRIDE = None      # independent overrides for device tuning
+_BWD_BLOCK_OVERRIDE = None
 
 
 def _pick_block_fwd(B: int) -> int:
@@ -230,8 +232,8 @@ def _pick_block_fwd(B: int) -> int:
     # forward plus the time-GRU weights (~8 MB bf16) and the (h, token)
     # scratch; 512-row blocks fit comfortably (the per-frame forward fits
     # 1024 WITH the full stash double-buffered).
-    if _BLOCK_OVERRIDE is not None:
-        return _BLOCK_OVERRIDE
+    if _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE:
+        return _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE
     if B <= 256:
         return B
     for bt in (512, 256):
@@ -245,8 +247,8 @@ def _pick_block_bwd(B: int) -> int:
     # sequence backward adds the time-GRU weights (bf16 ~8 MB) + their f32
     # grad accumulators (~16 MB) + the gi_z window and d_gi_z accumulator,
     # so it drops to 128-row blocks (measured headroom, see ARCHITECTURE.md).
-    if _BLOCK_OVERRIDE is not None:
-        return _BLOCK_OVERRIDE
+    if _BWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE:
+        return _BWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE
     if B <= 128:
         return B
     if B % 128 == 0:
