@@ -102,15 +102,13 @@ def _apply_precision(params: dict, cfg: ModelConfig, *floats):
                              for f in floats)
 
 
-def run(params: dict, cfg: ModelConfig, key: jax.Array, x: jnp.ndarray,
-        c: jnp.ndarray, pr_mat: jnp.ndarray, dt_x: Optional[jnp.ndarray],
-        tfr1, tfr2, tfr3, sample: bool = True):
-    """Teacher-forced forward pass (reference model.py:42-55).
-
-    x (B,32,K,6) int grid; c (B,8,36); pr_mat (B,32,128);
-    dt_x (B,32,16,39) — required iff cfg.txt_encoder == 'pianotree'.
-    ``sample=False`` uses posterior means (deterministic eval / parity tests).
-    """
+def _forward_parts(params: dict, cfg: ModelConfig, key: jax.Array, x, c,
+                   pr_mat, dt_x, tfr1, tfr2, tfr3, sample: bool):
+    """Everything of the teacher-forced forward EXCEPT the PianoTree decode:
+    embeddings, encoders, z, teacher coins and the chord-decoder recon.
+    Split out so loss() can route the decode into the fused decode+CE kernel
+    (train_seq loss mode) without duplicating — or reordering the RNG of —
+    the surrounding graph."""
     spec = cfg.pianotree
     k_chd, k_rhy, k_coins, k_coin3 = jax.random.split(key, 4)
     params, c, pr_mat, dt_x = _apply_precision(params, cfg, c, pr_mat, dt_x)
@@ -124,12 +122,27 @@ def run(params: dict, cfg: ModelConfig, key: jax.Array, x: jnp.ndarray,
     z = jnp.concatenate([z_chd, z_rhy], axis=-1).astype(dtype)
 
     coins1, coins2 = pt_dec.draw_coins(k_coins, cfg, tfr1, tfr2)
-    out = pt_dec.decode(params["dec"], cfg, z, x_emb, lengths, coins1, coins2)
-
     coins3 = jax.random.uniform(k_coin3, (cfg.chord.num_step,)) < tfr3
-    recon_root, recon_chroma, recon_bass = chd_dec.apply(
-        params["chd_dec"], z_chd.astype(dtype), c, coins3,
-        cfg.chord.num_step)
+    recon_chd = chd_dec.apply(params["chd_dec"], z_chd.astype(dtype), c,
+                              coins3, cfg.chord.num_step)
+    return (params, x_emb, lengths, dist_chd, dist_rhy, z, coins1, coins2,
+            recon_chd)
+
+
+def run(params: dict, cfg: ModelConfig, key: jax.Array, x: jnp.ndarray,
+        c: jnp.ndarray, pr_mat: jnp.ndarray, dt_x: Optional[jnp.ndarray],
+        tfr1, tfr2, tfr3, sample: bool = True):
+    """Teacher-forced forward pass (reference model.py:42-55).
+
+    x (B,32,K,6) int grid; c (B,8,36); pr_mat (B,32,128);
+    dt_x (B,32,16,39) — required iff cfg.txt_encoder == 'pianotree'.
+    ``sample=False`` uses posterior means (deterministic eval / parity tests).
+    """
+    (params, x_emb, lengths, dist_chd, dist_rhy, z, coins1, coins2,
+     recon_chd) = _forward_parts(params, cfg, key, x, c, pr_mat, dt_x,
+                                 tfr1, tfr2, tfr3, sample)
+    out = pt_dec.decode(params["dec"], cfg, z, x_emb, lengths, coins1, coins2)
+    recon_root, recon_chroma, recon_bass = recon_chd
     return out, dist_chd, dist_rhy, recon_root, recon_chroma, recon_bass
 
 
@@ -156,10 +169,21 @@ def loss(params: dict, cfg: ModelConfig, key: jax.Array, x, c, pr_mat,
     data-parallel loss/grad EXACTLY equal the single-program one. The other
     terms (chord CE, KL) are plain means over equal-sized shards, already
     exact under the caller's pmean."""
-    out, dist_chd, dist_rhy, r_root, r_chroma, r_bass = run(
-        params, cfg, key, x, c, pr_mat, dt_x, tfr1, tfr2, tfr3, sample)
-    recon, pl, dl = pt_dec.recon_loss(x, out, cfg.pianotree, weights,
-                                      weighted_dur, axis_name=axis_name)
+    if cfg.train_seq_kernel and cfg.fused_loss:
+        # fused decode+CE: the whole-sequence kernel emits masked-CE
+        # numerator partials and the logits never leave VMEM
+        (p_cast, x_emb, lengths, dist_chd, dist_rhy, z, coins1, coins2,
+         recon_chd) = _forward_parts(params, cfg, key, x, c, pr_mat, dt_x,
+                                     tfr1, tfr2, tfr3, sample)
+        recon, pl, dl = pt_dec.decode_recon(
+            p_cast["dec"], cfg, z, x_emb, lengths, coins1, coins2, x,
+            weights, weighted_dur, axis_name=axis_name)
+        r_root, r_chroma, r_bass = recon_chd
+    else:
+        out, dist_chd, dist_rhy, r_root, r_chroma, r_bass = run(
+            params, cfg, key, x, c, pr_mat, dt_x, tfr1, tfr2, tfr3, sample)
+        recon, pl, dl = pt_dec.recon_loss(x, out, cfg.pianotree, weights,
+                                          weighted_dur, axis_name=axis_name)
     kl_chd = kl_std_normal(dist_chd)
     kl_rhy = kl_std_normal(dist_rhy)
     kl = kl_chd + kl_rhy

@@ -532,6 +532,59 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                          jnp.swapaxes(dur_outs, 0, 1))
 
 
+def decode_recon(p: dict, cfg: ModelConfig, z: jnp.ndarray,
+                 x_emb: jnp.ndarray, lengths: jnp.ndarray,
+                 coins1: jnp.ndarray, coins2: jnp.ndarray, x: jnp.ndarray,
+                 weights=(1.0, 0.5), weighted_dur: bool = False,
+                 axis_name=None):
+    """Teacher-forced decode FUSED with the reconstruction CE (train_seq
+    kernel loss mode): the pitch/dur logits stay in VMEM and the kernel
+    emits masked-CE numerator sums; the mean's denominators (mask counts)
+    and the loss weighting stay in XLA. Semantics = decode() + recon_loss()
+    (reference ptvae.py:430-491 + 498-529), same axis_name contract as
+    ops.losses.cross_entropy_ignore. Returns (recon, pitch_loss, dur_loss).
+    """
+    from pctd_tpu.ops.pallas.train_seq import seq_recon_partials, seq_weights
+
+    spec = cfg.pianotree
+    B = z.shape[0]
+    T, K, W = spec.num_step, spec.max_simu_note, spec.dur_width
+
+    h0 = dense_apply(p["z2hid"], z)
+    z_in = dense_apply(p["z2in"], z)
+    flat = x_emb.reshape(B * T, K, x_emb.shape[-1])
+    x_summary = bigru_last_masked(p["emb_fwd"], p["emb_bwd"], flat,
+                                  lengths.reshape(B * T)).reshape(B, T, -1)
+    token0 = jnp.broadcast_to(p["init_input"],
+                              (B, p["init_input"].shape[-1]))
+    tok_dim = token0.shape[-1]
+    gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
+
+    gt_pitch = x[:, :, 1:, 0]
+    gt_dur = x[:, :, 1:, 1:]
+    interp = jax.default_backend() != "tpu"
+    nums = seq_recon_partials(
+        cfg, interp, seq_weights(p, cfg), h0, token0, gi_z, x_emb,
+        x_summary, coins1.astype(jnp.int32).reshape(T, 1),
+        coins2[:, 1:].astype(jnp.int32), gt_pitch, gt_dur)
+
+    den_p = (gt_pitch != spec.pitch_pad).sum()
+    den_d = (gt_dur != spec.dur_pad).sum(axis=(0, 1, 2))        # (W,)
+    if axis_name is not None:
+        nums = jax.lax.psum(nums, axis_name)
+        den_p = jax.lax.psum(den_p, axis_name)
+        den_d = jax.lax.psum(den_d, axis_name)
+    pitch_loss = nums[0] / jnp.maximum(den_p, 1)
+    if not weighted_dur:
+        dur_loss = nums[1:].sum() / jnp.maximum(den_d.sum(), 1)
+    else:
+        w = jnp.array([1.0, 0.6, 0.4, 0.3, 0.3])
+        dur_loss = sum(w[i] * nums[1 + i] / jnp.maximum(den_d[i], 1)
+                       for i in range(W))
+    return weights[0] * pitch_loss + weights[1] * dur_loss, pitch_loss, \
+        dur_loss
+
+
 def draw_coins(key: jax.Array, cfg: ModelConfig, tfr1, tfr2):
     """Batch-global per-step Bernoulli teacher coins (reference semantics:
     random.random() < tfr at ptvae.py:476/420)."""

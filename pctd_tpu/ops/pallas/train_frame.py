@@ -144,11 +144,15 @@ def _argmax_bit(logit):
 # ---------------------------------------------------------------------------
 
 def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
-                 pitch_ref=None, dur_ref=None):
+                 pitch_ref=None, dur_ref=None, keep_logits=False):
     """The frame forward. Returns (hs, tokens, pred, lengths) where
     hs[k] = note-GRU hidden after slot k (h[0] = initial), tokens[k] = the
     token consumed by slot k+1, pred[k] = the predicted-note embedding of
-    slot k (pred[0] = gt sos token). Writes logits when refs are given.
+    slot k (pred[0] = gt sos token). Writes logits when refs are given;
+    with ``keep_logits`` it instead returns two extra values — the pitch
+    logits (list of K-1 (B, P)) and dur logits (list of K-1 lists of W
+    (B, 2)) — for the fused-loss kernels, which consume them in VMEM and
+    never materialize them to HBM.
     ``coin_fn(k)`` returns slot k's scalar teacher coin (int, != 0 means
     teacher) — a function so the per-frame and fused-sequence kernels can
     index their differently-shaped SMEM coin tensors.
@@ -185,6 +189,7 @@ def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
     hs = [h]
     tokens = [token]
     pred = [token]
+    ests, dur_logits = [], []
     lengths = jnp.zeros((B, 1), jnp.int32)
 
     for k in range(1, K):
@@ -198,6 +203,9 @@ def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
         est_pitch = (dot(h, w_pitch_ref[:]) + b_pitch_ref[:]).astype(dtype)
         if pitch_ref is not None:
             pitch_ref[k - 1] = est_pitch
+        if keep_logits:
+            ests.append(est_pitch)
+            dur_logits.append([])
         pitch_ind = jnp.argmax(est_pitch.astype(jnp.float32),
                                axis=-1).astype(jnp.int32)
         h_d = (dot(jnp.concatenate([h, est_pitch], axis=-1),
@@ -212,6 +220,8 @@ def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
             logit = X[:, 0:2].astype(dtype)
             if dur_ref is not None:
                 dur_ref[k - 1, w] = logit
+            if keep_logits:
+                dur_logits[-1].append(logit)
             bit = jnp.argmax(logit.astype(jnp.float32),
                              axis=-1).astype(jnp.int32)
             bits.append(bit)
@@ -229,6 +239,8 @@ def _run_forward(spec, refs, coin_fn, frame_h, x_emb_ref, dtype,
         tokens.append(token)
 
     lengths = jnp.where(lengths == 0, K - 1, lengths)
+    if keep_logits:
+        return hs, tokens, pred, lengths, ests, dur_logits
     return hs, tokens, pred, lengths
 
 
@@ -311,8 +323,52 @@ _WNAMES = ("w_t2n", "b_t2n", "w_ih_frame", "w_ih_tok", "b_ih", "w_hh",
            "dur_sos", "we_ih", "we_hh", "be_ih", "be_hh")
 
 
+# ---------------------------------------------------------------------------
+# in-kernel masked cross-entropy (fused-loss mode, ops/pallas/train_seq):
+# same math as ops/losses._nll (f32 logsumexp - one-hot pick), computed in
+# VMEM on logits that never leave the kernel
+# ---------------------------------------------------------------------------
+
+def _ce_nll_sum(logits, gt, pad_index):
+    """Masked CE-numerator sum: sum over rows with gt != pad of
+    (logsumexp(logits_row) - logits_row[gt]). logits (N, C), gt (N, 1) i32.
+    Returns a (1, 1) f32 partial (ops/losses.py semantics: the mean's
+    denominator is a mask count, computed by the XLA caller from the grid
+    targets)."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lg, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+    picked = jnp.sum(lg * (col == gt).astype(jnp.float32), axis=-1,
+                     keepdims=True)
+    mask = (gt != pad_index).astype(jnp.float32)
+    return jnp.sum((lse - picked) * mask).reshape(1, 1)
+
+
+def _ce_grad(logits, gt, pad_index, g):
+    """d(masked CE-numerator sum)/d(logits) scaled by the scalar cotangent
+    ``g``: g * mask * (softmax(logits) - onehot(gt)), in f32."""
+    lg = logits.astype(jnp.float32)
+    sm = jnp.exp(lg - jax.nn.logsumexp(lg, axis=-1, keepdims=True))
+    col = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+    oh = (col == gt).astype(jnp.float32)
+    mask = (gt != pad_index).astype(jnp.float32)
+    return (g * mask) * (sm - oh)
+
+
+def _ce_grad_pitch(spec, col, est_all, loss_md):
+    del col  # the helper builds its own iota at the logits' shape
+    return _ce_grad(est_all, loss_md["gt_pitch"], spec.pitch_pad,
+                    loss_md["g_pitch"])
+
+
+def _ce_grad_dur(spec, logit, w, loss_md):
+    return _ce_grad(logit, loss_md["gt_dur"][w], spec.dur_pad,
+                    loss_md["g_dur"][w])
+
+
 def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
-                    hs, tokens, x_emb0, d_pitch, d_dur, d_summ, add):
+                    hs, tokens, x_emb0, d_pitch, d_dur, d_summ, add,
+                    loss_md=None):
     """Hand-differentiated frame backward, ref-free so the per-frame kernel
     (_bwd_kernel) and the fused-sequence kernel (train_seq) share it.
 
@@ -321,7 +377,14 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     chain (K entries each); x_emb0 (B, E) = the gt sos token; d_pitch
     (K-1, B, P), d_dur (K-1, W, B, 2), d_summ (B, 2*EH) cotangents.
     add(name, val): f32 weight-grad accumulator. Returns (d_frame_h f32,
-    d_x_rows — list of K (B, E) cotangent rows in compute dtype)."""
+    d_x_rows — list of K (B, E) cotangent rows in compute dtype).
+
+    ``loss_md`` (fused-loss mode, train_seq._seq_bwd_kernel): d_pitch/d_dur
+    are None and the logit cotangents are computed HERE from the rebuilt
+    logits — the masked-CE gradient ``g * mask * (softmax(l) - onehot(gt))``
+    — so logits never round-trip HBM. Keys: gt_pitch (KB, 1) i32,
+    gt_dur (list of W (KB, 1) i32), g_pitch / g_dur[w] scalar f32 cotangents
+    of the CE numerator sums (the 1/denom * weight factors fold in there)."""
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     B = frame_h.shape[0]
     KB = (K - 1) * B
@@ -358,6 +421,9 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     H_all = jnp.concatenate(hs[1:], axis=0)               # (KB, NH) slot k=1..
     est_all = (dot(H_all, w_pitch) + b_pitch).astype(dtype)
     pitch_ind_all = jnp.argmax(est_all.astype(f32), axis=-1).astype(jnp.int32)
+    if loss_md is not None:
+        d_pitch_flat, d_dur_rows = _ce_grad_pitch(
+            spec, col, est_all, loss_md), []
     dhid_in_all = jnp.concatenate([H_all, est_all], axis=-1)
     hd0_all = (dot(dhid_in_all, w_dhid) + b_dhid).astype(dtype)
 
@@ -385,6 +451,8 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
         hds.append(h_d)
         X = dot(h_d, w_dcomb) + b_dcomb
         logit = X[:, 0:2].astype(dtype)
+        if loss_md is not None:
+            d_dur_rows.append(_ce_grad_dur(spec, logit, w, loss_md))
         bit = jnp.argmax(logit.astype(f32), axis=-1).astype(jnp.int32)
         bits.append(bit)
         gi_d = _row_select(logit, gi_d_row1, gi_d_row0)
@@ -483,7 +551,8 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     # duration backward, batched over slots (feedback tokens carry no grad)
     d_hd = jnp.zeros((KB, hds[0].shape[-1]), f32)
     for w in range(W - 1, -1, -1):
-        d_logit = d_dur[:, w].reshape(KB, 2).astype(f32)
+        d_logit = d_dur_rows[w] if loss_md is not None else \
+            d_dur[:, w].reshape(KB, 2).astype(f32)
         add("w_dout", wgrad(hds[w + 1], d_logit))
         add("b_dout", jnp.sum(d_logit, axis=0, keepdims=True))
         d_hd = d_hd + dot(d_logit, w_dout.T)
@@ -510,7 +579,8 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     add("w_dhid",
         jnp.concatenate([wgrad(H_all, d_hd), wgrad(est_all, d_hd)]))
     add("b_dhid", jnp.sum(d_hd, axis=0, keepdims=True))
-    d_est = d_pitch.reshape(KB, P).astype(f32) + d_dhid_in[:, nh:]
+    d_est = (d_pitch_flat if loss_md is not None else
+             d_pitch.reshape(KB, P).astype(f32)) + d_dhid_in[:, nh:]
     add("w_pitch", wgrad(H_all, d_est))
     add("b_pitch", jnp.sum(d_est, axis=0, keepdims=True))
     dh_inj = (d_dhid_in[:, :nh] + dot(d_est, w_pitch.T)).reshape(
@@ -690,6 +760,17 @@ def _pad_rows(a, axis: int, Bp: int):
     pad = [(0, 0)] * a.ndim
     pad[axis] = (0, Bp - B)
     return jnp.pad(a, pad)
+
+
+def _pad_rows_const(a, axis: int, Bp: int, val):
+    """Pad the batch dimension with a CONSTANT — targets pad with their
+    ignore index so padded rows mask out of the fused-loss CE sums."""
+    B = a.shape[axis]
+    if B == Bp:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, Bp - B)
+    return jnp.pad(a, pad, constant_values=val)
 
 
 def _specs(bt, coins_shape):

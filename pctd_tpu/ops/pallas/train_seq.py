@@ -44,12 +44,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pctd_tpu.config import ModelConfig
-from pctd_tpu.ops.pallas.train_frame import (_WNAMES, _frame_bwd_core,
-                                             _gru_bwd, _gru_gates,
-                                             _pad_rows, _run_forward,
+from pctd_tpu.ops.pallas.train_frame import (_WNAMES, _ce_nll_sum,
+                                             _frame_bwd_core, _gru_bwd,
+                                             _gru_gates, _pad_rows,
+                                             _pad_rows_const, _run_forward,
                                              _summary_fwd, core_weights)
 
 _SEQ_WNAMES = _WNAMES + ("wt_tok", "wt_hh", "bt_hh")
+
+# fused-loss partials row width: [pitch_num | dur_num x W | zero pad]
+NUMS_W = 8
 
 
 def seq_weights(p: dict, cfg: ModelConfig):
@@ -68,21 +72,44 @@ def seq_weights(p: dict, cfg: ModelConfig):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _seq_fwd_kernel(spec, T: int, *args):
+def _gt_cat(spec, gt_pitch_ref, gt_dur_ref):
+    """Slot-concatenated targets, sublane-aligned with the (K-1)*B-row
+    batched intermediates. The targets ship batch-major — (bt, K-1) and
+    (bt, (K-1)*W) windows, batch in SUBLANES — so each slot/bit column is a
+    cheap lane slice; a (K-1, bt)-shaped window would need a lane->sublane
+    relayout to line up with the (KB, ...) tensors."""
+    K, W = spec.max_simu_note, spec.dur_width
+    gt_p = jnp.concatenate([gt_pitch_ref[:, k - 1:k] for k in range(1, K)])
+    gt_d = [jnp.concatenate(
+        [gt_dur_ref[:, (k - 1) * W + w:(k - 1) * W + w + 1]
+         for k in range(1, K)]) for w in range(W)]
+    return gt_p, gt_d
+
+
+def _seq_fwd_kernel(spec, T: int, loss_mode: bool, *args):
     (coins1_ref, coins2_ref, h0_ref, token0_ref, gi_z_ref, x_emb_ref,
      x_sum_ref, *rest) = args
+    if loss_mode:
+        gt_pitch_ref, gt_dur_ref = rest[:2]
+        rest = rest[2:]
     refs = rest[:20]
     we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
     wt_tok_ref, wt_hh_ref, bt_hh_ref = rest[24:27]
     outs = rest[27:]
-    if len(outs) == 4:          # primal: no stash
-        (pitch_ref, dur_ref), (h_scr, tok_scr) = outs[:2], outs[2:]
+    pitch_ref = dur_ref = nums_ref = None
+    if loss_mode:
+        nums_ref = outs[0]
+        outs = outs[1:]
+    else:
+        pitch_ref, dur_ref = outs[:2]
+        outs = outs[2:]
+    if len(outs) == 2:          # primal: no stash
         h_st_ref = ttok_st_ref = hs_ref = ntok_ref = None
     else:
-        (pitch_ref, dur_ref, h_st_ref, ttok_st_ref, hs_ref,
-         ntok_ref) = outs[:6]
-        h_scr, tok_scr = outs[6:]
-    K = spec.max_simu_note
+        h_st_ref, ttok_st_ref, hs_ref, ntok_ref = outs[:4]
+        outs = outs[4:]
+    h_scr, tok_scr = outs
+    K, W = spec.max_simu_note, spec.dur_width
     dtype = h0_ref.dtype
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -105,9 +132,10 @@ def _seq_fwd_kernel(spec, T: int, *args):
         h_st_ref[:] = h_new
         ttok_st_ref[:] = token
 
-    hs, tokens, pred, lengths = _run_forward(
+    fwd = _run_forward(
         spec, refs, lambda k: coins2_ref[t, k - 1], h_new, x_emb_ref, dtype,
-        pitch_ref=pitch_ref, dur_ref=dur_ref)
+        pitch_ref=pitch_ref, dur_ref=dur_ref, keep_logits=loss_mode)
+    hs, tokens, pred, lengths = fwd[:4]
     hf, hb = _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref,
                           be_hh_ref, dtype)
     summ = jnp.concatenate([hf, hb], axis=-1)
@@ -115,6 +143,27 @@ def _seq_fwd_kernel(spec, T: int, *args):
         for k in range(K):
             hs_ref[k] = hs[k]
             ntok_ref[k] = tokens[k]
+
+    if loss_mode:
+        # masked-CE numerator partials (pitch + one per dur bit), summed in
+        # f32 over the block and accumulated across the whole grid; the
+        # logits stay in VMEM. Denominators are mask counts the XLA caller
+        # computes directly from the grid targets.
+        ests, dur_logits = fwd[4], fwd[5]
+        gt_p, gt_d = _gt_cat(spec, gt_pitch_ref, gt_dur_ref)
+        parts = [_ce_nll_sum(jnp.concatenate(ests), gt_p, spec.pitch_pad)]
+        for w in range(W):
+            parts.append(_ce_nll_sum(
+                jnp.concatenate([dl[w] for dl in dur_logits]), gt_d[w],
+                spec.dur_pad))
+        row = jnp.concatenate(
+            parts + [jnp.zeros((1, NUMS_W - 1 - W), jnp.float32)], axis=-1)
+
+        @pl.when((pl.program_id(0) == 0) & (t == 0))
+        def _zero_nums():
+            nums_ref[...] = jnp.zeros(nums_ref.shape, nums_ref.dtype)
+
+        nums_ref[...] += row
 
     # teacher/predicted frame-summary token select (ptvae.py:476, the
     # batch-global coin1): feeds the NEXT frame's time-GRU input
@@ -127,16 +176,24 @@ def _seq_fwd_kernel(spec, T: int, *args):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _seq_bwd_kernel(spec, T: int, nh: int, *args):
+def _seq_bwd_kernel(spec, T: int, nh: int, loss_mode: bool, *args):
     (coins1_ref, coins2_ref, h0_ref, gi_z_ref, h_st_ref, h_prev_ref,
      ttok_st_ref, hs_ref, ntok_ref, *rest) = args
+    if loss_mode:
+        gt_pitch_ref, gt_dur_ref, d_nums_ref = rest[:3]
+        rest = rest[3:]
     wrefs = rest[:27]                      # _SEQ_WNAMES order
-    d_pitch_ref, d_dur_ref = rest[27:29]
+    if loss_mode:
+        d_pitch_ref = d_dur_ref = None
+        rest = rest[27:]
+    else:
+        d_pitch_ref, d_dur_ref = rest[27:29]
+        rest = rest[29:]
     (d_h0_ref, d_token0_ref, d_gi_z_ref, d_x_emb_ref,
-     d_x_sum_ref) = rest[29:34]
-    grad_refs = rest[34:34 + len(_SEQ_WNAMES)]
-    dh_scr, dtok_scr = rest[34 + len(_SEQ_WNAMES):]
-    K = spec.max_simu_note
+     d_x_sum_ref) = rest[:5]
+    grad_refs = rest[5:5 + len(_SEQ_WNAMES)]
+    dh_scr, dtok_scr = rest[5 + len(_SEQ_WNAMES):]
+    K, W = spec.max_simu_note, spec.dur_width
     dtype = h0_ref.dtype
     f32 = jnp.float32
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
@@ -171,13 +228,21 @@ def _seq_bwd_kernel(spec, T: int, nh: int, *args):
     d_summ = jnp.where(c1, 0.0, d_token_next)
     d_x_sum_ref[:] = jnp.where(c1, d_token_next, 0.0).astype(dtype)
 
+    loss_md = None
+    if loss_mode:
+        gt_p, gt_d = _gt_cat(spec, gt_pitch_ref, gt_dur_ref)
+        loss_md = dict(gt_pitch=gt_p, gt_dur=gt_d,
+                       g_pitch=d_nums_ref[0, 0],
+                       g_dur=[d_nums_ref[0, 1 + w] for w in range(W)])
     wts = dict(zip(_SEQ_WNAMES, (r[:] for r in wrefs)))
     frame_h = h_st_ref[:]
     tokens = [ntok_ref[k] for k in range(K)]
     d_frame_h, d_x_rows = _frame_bwd_core(
         spec, nh, wts, lambda k: coins2_ref[t, k - 1], frame_h,
         [hs_ref[k] for k in range(K)], tokens, tokens[0],
-        d_pitch_ref[:], d_dur_ref[:], d_summ, add)
+        None if loss_mode else d_pitch_ref[:],
+        None if loss_mode else d_dur_ref[:], d_summ, add,
+        loss_md=loss_md)
     d_x_emb_ref[...] = jnp.stack(d_x_rows)
 
     # time-GRU cell backward: h_t feeds this frame (d_frame_h) and the next
@@ -260,10 +325,13 @@ _VMEM_LIMIT = 128 * 1024 * 1024
 
 
 def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
-                  x_sum_t, coins1, coins2, interpret, stash=False):
+                  x_sum_t, coins1, coins2, interpret, stash=False, gt=None):
     """x_emb_tk (T, K, B, E); x_sum_t (T, B, 2EH); coins1 (T, 1) i32;
     coins2 (T, K-1) i32. Returns (pitch (T, K-1, Bp, P),
-    dur (T, K-1, W, Bp, 2)) [+ stashes], batch-padded."""
+    dur (T, K-1, W, Bp, 2)) [+ stashes], batch-padded. With ``gt`` =
+    (gt_pitch (T, B, K-1) i32, gt_dur (T, B, (K-1)*W) i32) the kernel runs
+    in fused-loss mode: the logits never leave VMEM and the first output is
+    instead the (1, NUMS_W) masked-CE numerator partials."""
     B = h0.shape[0]
     T, K, W, P = (spec.num_step, spec.max_simu_note, spec.dur_width,
                   spec.pitch_range)
@@ -307,14 +375,27 @@ def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
     smem = lambda a: pl.BlockSpec(a.shape, lambda i, t: (0, 0),
                                   memory_space=pltpu.SMEM)
 
+    gt_args = ()
+    gt_specs = []
+    if gt is not None:
+        gt_pitch, gt_dur = gt
+        gt_args = (_pad_rows_const(gt_pitch, 1, Bp, spec.pitch_pad),
+                   _pad_rows_const(gt_dur, 1, Bp, spec.dur_pad))
+        gt_specs = [bspec(K - 1, tdim=0), bspec((K - 1) * W, tdim=0)]
+
     in_specs = ([smem(coins1), smem(coins2), bspec(th), bspec(2 * eh),
                  bspec(3 * th), bspec(K, E, pos=1, tdim=0),
-                 bspec(2 * eh, tdim=0)]
+                 bspec(2 * eh, tdim=0)] + gt_specs
                 + [wspec(w) for w in weights])
-    out_shape = [jax.ShapeDtypeStruct((T, K - 1, Bp, P), dtype),
-                 jax.ShapeDtypeStruct((T, K - 1, W, Bp, 2), dtype)]
-    out_specs = [bspec(K - 1, P, pos=1, tdim=0),
-                 bspec(K - 1, W, 2, pos=2, tdim=0)]
+    if gt is not None:
+        out_shape = [jax.ShapeDtypeStruct((1, NUMS_W), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, NUMS_W), lambda i, t: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((T, K - 1, Bp, P), dtype),
+                     jax.ShapeDtypeStruct((T, K - 1, W, Bp, 2), dtype)]
+        out_specs = [bspec(K - 1, P, pos=1, tdim=0),
+                     bspec(K - 1, W, 2, pos=2, tdim=0)]
     if stash:
         out_shape += [jax.ShapeDtypeStruct((T, Bp, th), dtype),
                       jax.ShapeDtypeStruct((T, Bp, 2 * eh), dtype),
@@ -323,7 +404,7 @@ def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
         out_specs += [bspec(th, tdim=0), bspec(2 * eh, tdim=0),
                       bspec(K, nh, pos=1, tdim=0),
                       bspec(K, E, pos=1, tdim=0)]
-    kernel = functools.partial(_seq_fwd_kernel, spec, T)
+    kernel = functools.partial(_seq_fwd_kernel, spec, T, gt is not None)
     outs = pl.pallas_call(
         kernel, grid=grid, out_shape=tuple(out_shape), in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -332,15 +413,19 @@ def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(coins1, coins2, h0, token0, gi_z, x_emb_tk, x_sum_t, *weights)
+    )(coins1, coins2, h0, token0, gi_z, x_emb_tk, x_sum_t, *gt_args,
+      *weights)
     return outs
 
 
 def _seq_bwd_call(spec, eh, nh, weights, h0, gi_z, coins1, coins2,
                   h_st, ttok_st, hs_st, ntok_st, d_pitch_t, d_dur_t,
-                  interpret):
+                  interpret, gt=None):
     """Inputs in kernel (batch-padded) layouts; returns (d_h0, d_token0,
-    d_gi_z, d_x_emb (T, K, Bp, E), d_x_sum (T, Bp, 2EH), d_weights)."""
+    d_gi_z, d_x_emb (T, K, Bp, E), d_x_sum (T, Bp, 2EH), d_weights).
+    ``gt`` = (gt_pitch (T, B, K-1), gt_dur (T, B, (K-1)*W), d_nums (1,
+    NUMS_W) f32) selects fused-loss mode: d_pitch_t/d_dur_t are None and
+    the logit cotangents are computed in-kernel from the targets."""
     Bp = h_st.shape[1]
     T, K, W, P = (spec.num_step, spec.max_simu_note, spec.dur_width,
                   spec.pitch_range)
@@ -378,15 +463,27 @@ def _seq_bwd_call(spec, eh, nh, weights, h0, gi_z, coins1, coins2,
     smem = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)
 
+    if gt is not None:
+        gt_pitch, gt_dur, d_nums = gt
+        ct_args = (_pad_rows_const(gt_pitch, 1, Bp, spec.pitch_pad),
+                   _pad_rows_const(gt_dur, 1, Bp, spec.dur_pad), d_nums)
+        ct_specs = [bspec(K - 1, tdim=0, rev=True),
+                    bspec((K - 1) * W, tdim=0, rev=True), smem(d_nums)]
+    else:
+        ct_args = (d_pitch_t, d_dur_t)
+        ct_specs = [bspec(K - 1, P, pos=1, tdim=0, rev=True),
+                    bspec(K - 1, W, 2, pos=2, tdim=0, rev=True)]
+    # cotangent/target inputs ride BEFORE the weights in kernel arg order
+    # only in loss mode (gt windows); logit cotangents come after
     in_specs = ([smem(coins1), smem(coins2), bspec(th), bspec(3 * th),
                  bspec(th, tdim=0, rev=True),
                  bspec(th, tdim=0, rev=True, prev=True),
                  bspec(2 * eh, tdim=0, rev=True),
                  bspec(K, nh, pos=1, tdim=0, rev=True),
                  bspec(K, E, pos=1, tdim=0, rev=True)]
+                + (ct_specs if gt is not None else [])
                 + [wspec(w) for w in weights]
-                + [bspec(K - 1, P, pos=1, tdim=0, rev=True),
-                   bspec(K - 1, W, 2, pos=2, tdim=0, rev=True)])
+                + ([] if gt is not None else ct_specs))
     out_shape = [jax.ShapeDtypeStruct((Bp, th), dtype),
                  jax.ShapeDtypeStruct((Bp, 2 * eh), dtype),
                  jax.ShapeDtypeStruct((Bp, 3 * th), jnp.float32),
@@ -398,7 +495,10 @@ def _seq_bwd_call(spec, eh, nh, weights, h0, gi_z, coins1, coins2,
     for w in weights:
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_specs.append(wspec(w))
-    kernel = functools.partial(_seq_bwd_kernel, spec, T, nh)
+    kernel = functools.partial(_seq_bwd_kernel, spec, T, nh, gt is not None)
+    args = ((coins1, coins2, h0, gi_z, h_st, h_st, ttok_st, hs_st, ntok_st)
+            + (ct_args if gt is not None else ()) + tuple(weights)
+            + (() if gt is not None else ct_args))
     outs = pl.pallas_call(
         kernel, grid=grid, out_shape=tuple(out_shape), in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -407,8 +507,7 @@ def _seq_bwd_call(spec, eh, nh, weights, h0, gi_z, coins1, coins2,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(coins1, coins2, h0, gi_z, h_st, h_st, ttok_st, hs_st, ntok_st,
-      *weights, d_pitch_t, d_dur_t)
+    )(*args)
     d_h0, d_token0, d_gi_z, d_x_emb, d_x_sum = outs[:5]
     d_weights = tuple(g.astype(w.dtype) for g, w in zip(outs[5:], weights))
     return d_h0, d_token0, d_gi_z, d_x_emb, d_x_sum, d_weights
@@ -478,3 +577,84 @@ def _seq_core_bwd(cfg, interpret, res, cts):
 
 
 seq_core.defvjp(_seq_core_fwd, _seq_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused-loss wrapper: CE numerators instead of logits
+# ---------------------------------------------------------------------------
+
+def _gt_layouts(spec, gt_pitch, gt_dur):
+    """(B, T, K-1) / (B, T, K-1, W) int targets -> the kernels' batch-major
+    (T, B, K-1) / (T, B, (K-1)*W) windows (batch in sublanes; slot/bit
+    columns are lane slices — see _gt_cat)."""
+    T = spec.num_step
+    B = gt_pitch.shape[0]
+    gp = jnp.transpose(gt_pitch, (1, 0, 2)).astype(jnp.int32)
+    gd = jnp.transpose(gt_dur, (1, 0, 2, 3)).astype(jnp.int32).reshape(
+        T, B, -1)
+    return gp, gd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def seq_recon_partials(cfg: ModelConfig, interpret: bool, weights, h0,
+                       token0, gi_z, x_emb, x_sum, coins1, coins2,
+                       gt_pitch, gt_dur):
+    """Whole-sequence decode FUSED WITH the reconstruction-CE numerators:
+    the pitch/dur logits never leave VMEM (they are rebuilt bit-equal in the
+    backward from the serial-chain stash, where the masked-CE gradient is
+    computed in place). Returns (1 + W,) f32 = [pitch CE-numerator sum,
+    one dur CE-numerator sum per bit] over valid (non-pad) positions —
+    ops/losses.cross_entropy_ignore numerators; the caller divides by the
+    mask counts (and applies loss weights / psums) in XLA.
+
+    gt_pitch (B, T, K-1) int = x[:, :, 1:, 0]; gt_dur (B, T, K-1, W) int =
+    x[:, :, 1:, 1:] (reference recon-loss targets, ptvae.py:498-529)."""
+    spec = cfg.pianotree
+    nums = _seq_fwd_call(
+        spec, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights, h0, token0,
+        gi_z, jnp.transpose(x_emb, (1, 2, 0, 3)),
+        jnp.swapaxes(x_sum, 0, 1), coins1, coins2, interpret,
+        gt=_gt_layouts(spec, gt_pitch, gt_dur))[0]
+    return nums[0, :1 + spec.dur_width]
+
+
+def _seq_recon_fwd(cfg, interpret, weights, h0, token0, gi_z, x_emb, x_sum,
+                   coins1, coins2, gt_pitch, gt_dur):
+    spec = cfg.pianotree
+    gt = _gt_layouts(spec, gt_pitch, gt_dur)
+    outs = _seq_fwd_call(
+        spec, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights, h0, token0,
+        gi_z, jnp.transpose(x_emb, (1, 2, 0, 3)),
+        jnp.swapaxes(x_sum, 0, 1), coins1, coins2, interpret, stash=True,
+        gt=gt)
+    nums, h_st, ttok_st, hs_st, ntok_st = outs
+    return nums[0, :1 + spec.dur_width], (
+        weights, h0, gi_z, coins1, coins2, gt, h_st, ttok_st, hs_st, ntok_st)
+
+
+def _seq_recon_bwd(cfg, interpret, res, d_nums):
+    (weights, h0, gi_z, coins1, coins2, gt, h_st, ttok_st, hs_st,
+     ntok_st) = res
+    spec = cfg.pianotree
+    B = h0.shape[0]
+    Bp = h_st.shape[1]
+    row = jnp.zeros((1, NUMS_W), jnp.float32)
+    row = row.at[0, :1 + spec.dur_width].set(d_nums.astype(jnp.float32))
+    d_h0, d_token0, d_gi_z, d_x_emb, d_x_sum, d_weights = _seq_bwd_call(
+        spec, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights,
+        _pad_rows(h0, 0, Bp), _pad_rows(gi_z, 0, Bp), coins1, coins2,
+        h_st, ttok_st, hs_st, ntok_st, None, None, interpret,
+        gt=gt + (row,))
+    zero = lambda c: np.zeros(c.shape, jax.dtypes.float0)
+    return (d_weights, d_h0[:B], d_token0[:B],
+            d_gi_z[:B].astype(gi_z.dtype),
+            jnp.transpose(d_x_emb[:, :, :B], (2, 0, 1, 3)),
+            jnp.swapaxes(d_x_sum[:, :B], 0, 1),
+            zero(coins1), zero(coins2),
+            np.zeros((B, spec.num_step, spec.max_simu_note - 1),
+                     jax.dtypes.float0),
+            np.zeros((B, spec.num_step, spec.max_simu_note - 1,
+                      spec.dur_width), jax.dtypes.float0))
+
+
+seq_recon_partials.defvjp(_seq_recon_fwd, _seq_recon_bwd)

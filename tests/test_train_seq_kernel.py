@@ -128,6 +128,70 @@ def test_fwd_parity_stretch_T():
                                np.asarray(out_x.dur_logits), atol=2e-5)
 
 
+def _vae_loss_args(B=3, seed=11):
+    import jax.numpy as jnp
+
+    x, c, pr = random_batch(B, seed=seed)
+    return (jnp.asarray(x), jnp.asarray(c), jnp.asarray(pr), None)
+
+
+def test_fused_loss_metrics_parity():
+    """train_seq_kernel + fused_loss: the whole-VAE loss and ALL 11 metrics
+    must match the XLA path (the kernel emits CE numerators; denominators
+    and weighting stay in XLA)."""
+    from pctd_tpu.models import disentangle_vae as dv
+
+    fused = dataclasses.replace(SMALL, train_seq_kernel=True)
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    args = _vae_loss_args()
+    key = jax.random.PRNGKey(5)
+    _, mx = dv.loss(params, SMALL, key, *args, tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    _, mk = dv.loss(params, fused, key, *args, tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    for k in mx:
+        np.testing.assert_allclose(float(mk[k]), float(mx[k]), rtol=2e-5,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_fused_loss_weighted_dur_parity():
+    from pctd_tpu.models import disentangle_vae as dv
+
+    fused = dataclasses.replace(SMALL, train_seq_kernel=True)
+    params = dv.init_params(jax.random.PRNGKey(1), SMALL)
+    args = _vae_loss_args(seed=13)
+    key = jax.random.PRNGKey(7)
+    lx, _ = dv.loss(params, SMALL, key, *args, tfr1=0.3, tfr2=0.7, tfr3=0.5,
+                    weighted_dur=True)
+    lk, _ = dv.loss(params, fused, key, *args, tfr1=0.3, tfr2=0.7, tfr3=0.5,
+                    weighted_dur=True)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+
+
+@pytest.mark.slow  # whole-VAE interpret-mode grads, ~5 min
+def test_fused_loss_grad_parity():
+    """Gradients through the fused decode+CE kernel (in-kernel logit
+    cotangents from targets) must match the XLA decode + recon_loss path for
+    every parameter leaf."""
+    from pctd_tpu.models import disentangle_vae as dv
+
+    fused = dataclasses.replace(SMALL, train_seq_kernel=True)
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    args = _vae_loss_args()
+    key = jax.random.PRNGKey(5)
+
+    def tot(cfg, p):
+        t, _ = dv.loss(p, cfg, key, *args, tfr1=0.5, tfr2=0.5, tfr3=0.5)
+        return t
+
+    lx, gx = jax.value_and_grad(lambda p: tot(SMALL, p))(params)
+    lk, gk = jax.value_and_grad(lambda p: tot(fused, p))(params)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gx),
+                                   jax.tree_util.tree_leaves(gk))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4,
+                                   err_msg=f"fused-loss grad leaf {i}")
+
+
 def test_block_pickers():
     assert ts._pick_block_fwd(2048) == 512
     assert ts._pick_block_fwd(256) == 256
