@@ -273,11 +273,19 @@ def main():
                             compute_dtype="bfloat16", with_cost=True,
                             remat=True, frame_kernel=True)
     # whole-sequence fused kernel (time level folded in, ops/pallas/
-    # train_seq); the headline below is the measured best of the two
-    big_seq = _bench_train_step(n_steps=8, batch_size=2048,
-                                compute_dtype="bfloat16", with_cost=True,
-                                seq_kernel=True)
-    if big_seq["segments_per_sec"] > big["segments_per_sec"]:
+    # train_seq); the headline below is the measured best of the two.
+    # Guarded: a Mosaic regression in the newer kernel must degrade the
+    # headline to the per-frame kernel, not kill the unattended bench run.
+    try:
+        big_seq = _bench_train_step(n_steps=8, batch_size=2048,
+                                    compute_dtype="bfloat16", with_cost=True,
+                                    seq_kernel=True)
+    except Exception as e:          # pragma: no cover - device-specific
+        import sys
+        print(f"seq-kernel bench failed ({type(e).__name__}); "
+              f"falling back to per-frame kernel", file=sys.stderr)
+        big_seq = None
+    if big_seq and big_seq["segments_per_sec"] > big["segments_per_sec"]:
         big, big_alt, alt_note = big_seq, big, "per-frame kernel"
         note = ("fused whole-sequence Pallas kernel "
                 "(time+note+dur levels, hand-written VJP)")
@@ -330,7 +338,7 @@ def main():
                 "which": alt_note,
                 "segments_per_sec": round(big_alt["segments_per_sec"], 2),
                 "step_seconds": round(big_alt["step_seconds"], 5),
-            },
+            } if big_alt else None,
             "train_b2048_bf16_xla_scans": {
                 "segments_per_sec": round(big_xla["segments_per_sec"], 2),
                 "step_seconds": round(big_xla["step_seconds"], 5),
