@@ -158,3 +158,39 @@ def test_parallel_eval_step():
                         jax.random.PRNGKey(6), pr, chord, shift)
     assert np.isfinite(float(metrics["loss"]))
     assert set(metrics) == set(dv.METRIC_NAMES)
+
+
+@pytest.mark.slow  # 8-shard interpret-mode kernel, ~5 min
+def test_mesh_loss_matches_single_device_seq_fused():
+    """The fused decode+CE kernel path (train_seq_kernel + fused_loss) under
+    shard_map with the exact psum(num)/psum(denom) reduction: sharded loss ==
+    single-program loss == XLA-path loss to float tolerance (the kernel's
+    CE numerator partials psum across the mesh like ops.losses' numerators).
+    """
+    SEQ = dataclasses.replace(SMALL, train_seq_kernel=True)
+    mesh = make_mesh(8)
+    params, x, c, pr_mat, _ = _det_loss_setup()
+    key = jax.random.PRNGKey(2)
+
+    def det_loss(cfg, params, x, c, pr_mat, axis_name=None):
+        total, _ = dv.loss(params, cfg, key, x, c, pr_mat,
+                           tfr1=1.0, tfr2=1.0, tfr3=1.0, sample=False,
+                           axis_name=axis_name)
+        return total
+
+    single = float(det_loss(SEQ, params, x, c, pr_mat))
+    single_xla = float(det_loss(SMALL, params, x, c, pr_mat))
+    np.testing.assert_allclose(single, single_xla, rtol=1e-5)
+
+    def shard_fn(params, x, c, pr_mat):
+        return jax.lax.pmean(det_loss(SEQ, params, x, c, pr_mat,
+                                      axis_name=("data",)), "data")
+
+    mapped = jax.jit(_shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False))
+    xs, cs, ps = shard_batch(mesh, np.asarray(x), np.asarray(c),
+                             np.asarray(pr_mat))
+    exact = float(mapped(replicate(mesh, params), xs, cs, ps))
+    np.testing.assert_allclose(exact, single, rtol=1e-5)
