@@ -734,19 +734,26 @@ def _pick_block_bwd(B: int) -> int:
 
 
 _FWD_BLOCK = 1024
+_FWD_BLOCK_STASH = 512
 
 
-def _pick_block_fwd(B: int) -> int:
-    # The forward keeps only the slot hiddens/tokens live (no gradient
-    # stash, no f32 weight-grad accumulators), so it affords much larger
-    # row blocks than the backward — fewer, fatter VPU/MXU ops for the
-    # same math (the per-op issue overhead is what made the fwd kernel
+def _pick_block_fwd(B: int, stash: bool = False) -> int:
+    # The primal forward keeps only the slot hiddens/tokens live (no
+    # gradient stash, no f32 weight-grad accumulators), so it affords much
+    # larger row blocks than the backward — fewer, fatter VPU/MXU ops for
+    # the same math (the per-op issue overhead is what made the fwd kernel
     # measure ~12 ms slower than XLA's B=2048 scans at 256-row blocks).
+    # The STASH forward (the VJP path) additionally streams the per-slot
+    # chain states (hs (K, bt, NH) + ntok (K, bt, E)) out, double-buffered:
+    # at 1024-row blocks that is +48 MB of output windows on top of the
+    # padded dur-logit window and the compile fails at 166 MB of the 128 MB
+    # VMEM space (measured on v5e); 512-row blocks fit.
     if _BLOCK_OVERRIDE is not None:
         return _BLOCK_OVERRIDE
     if B <= 256:
         return B
-    for bt in (_FWD_BLOCK, 512, 256):
+    for bt in ((_FWD_BLOCK_STASH, 256) if stash
+               else (_FWD_BLOCK, 512, 256)):
         if B % bt == 0:
             return bt
     return 128     # minimizes padding for non-divisible batches
@@ -808,7 +815,7 @@ def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     E = x_emb_t.shape[-1]
-    bt = _pick_block_fwd(B)
+    bt = _pick_block_fwd(B, stash=stash)
     Bp = -(-B // bt) * bt               # pad batch to a block multiple
     grid = (Bp // bt,)
     dtype = frame_h.dtype

@@ -224,15 +224,19 @@ def test_fwd_and_grad_parity_padded_batch():
 
 
 def test_block_pickers():
-    """Block-size selection: the forward affords 1024-row blocks (no
-    gradient stash), the backward stays at 256 (VMEM-bound); non-divisible
-    batches fall back to 128 with zero-padding."""
+    """Block-size selection: the primal forward affords 1024-row blocks,
+    the STASH forward (VJP path, streams the chain states out) caps at 512
+    (1024 measured 166M > 128M VMEM on v5e), the backward stays at 256
+    (VMEM-bound); non-divisible batches fall back to 128 with zero-padding."""
     from pctd_tpu.ops.pallas import train_frame as tf
 
     assert tf._pick_block_fwd(2048) == 1024
+    assert tf._pick_block_fwd(2048, stash=True) == 512
     assert tf._pick_block_fwd(1536) == 512
+    assert tf._pick_block_fwd(1536, stash=True) == 512
     assert tf._pick_block_fwd(256) == 256
     assert tf._pick_block_fwd(100) == 100      # single block, padded rows
     assert tf._pick_block_fwd(300) == 128
+    assert tf._pick_block_fwd(1280, stash=True) == 256
     assert tf._pick_block_bwd(2048) == 256
     assert tf._pick_block_bwd(300) == 128
