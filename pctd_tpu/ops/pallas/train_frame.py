@@ -706,31 +706,19 @@ def core_weights(p: dict, cfg: ModelConfig) -> Tuple[jnp.ndarray, ...]:
 _BLOCK_OVERRIDE = None      # tests force a small block to exercise the grid
 
 
-def _pick_block(B: int) -> int:
-    # 512 rows exceeds VMEM in the backward (measured 190M of 128M: the
-    # stashed per-slot hiddens/tokens + f32 weight-grad accumulators +
-    # double-buffered input windows); 256 fits. Batches not divisible by the
-    # block are zero-padded to the next multiple by the callers (padded rows
-    # are sliced off the outputs, and contribute exactly zero to the weight
-    # grads in the backward because every in-kernel cotangent is linear in
-    # the zero cotangents passed for those rows).
-    if _BLOCK_OVERRIDE is not None:
-        return _BLOCK_OVERRIDE
-    if B <= 256:
-        return B
-    if B % 256 == 0:
-        return 256
-    return 128     # minimizes padding for non-divisible batches
-
-
 def _pick_block_bwd(B: int) -> int:
     # The slot-batched backward (phases 2a/2b/2d) keeps (K-1)*bt-row
-    # intermediates live at once. With the f32 dur-chain gate tuples
-    # recomputed in the backward loop instead of stashed (the largest
-    # liveness term), 256-row blocks fit VMEM; stashing them spilled ~96M
-    # of vector registers and exceeded the 128M space by ~10M (measured on
-    # v5e).
-    return _pick_block(B)
+    # intermediates live at once. 256-row blocks fit VMEM before the
+    # chain-state stash landed; with the stash input windows (hs + ntok,
+    # double-buffered) and the shared fused-loss core the compile measures
+    # 157M of the 128M space at 256 rows (v5e), so the backward now takes
+    # 128-row blocks. Batches not divisible by the block are zero-padded to
+    # the next multiple by the callers; padded rows contribute exactly zero
+    # to the weight grads because every in-kernel cotangent is linear in
+    # the zero cotangents passed for those rows.
+    if _BLOCK_OVERRIDE is not None:
+        return _BLOCK_OVERRIDE
+    return min(B, 128)
 
 
 _FWD_BLOCK = 1024

@@ -249,6 +249,9 @@ class Trainer:
             jax.random.PRNGKey(self.tcfg.seed), self.mcfg, self.tcfg)
         self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
         self.eval_step = make_eval_step(self.mcfg, self.tcfg)
+        # one-shot Pallas-kernel -> XLA degrade (see _run_train_step)
+        self._kernel_fallback_armed = (self.mcfg.train_frame_kernel
+                                       or self.mcfg.train_seq_kernel)
         self.train_counter = 0
         self.val_counter = 0
         # one stacked transfer per batch instead of 11 scalar host syncs
@@ -260,6 +263,36 @@ class Trainer:
     def _metrics_to_host(self, metrics) -> Dict[str, float]:
         vals = np.asarray(self._stack(metrics))
         return dict(zip(dv.METRIC_NAMES, map(float, vals)))
+
+    def _run_train_step(self, pr, chord, shift):
+        """One train step, with a one-shot Pallas-kernel -> XLA degrade.
+
+        The fused train kernels' VMEM block sizes are tuned per chip
+        generation; on a device where the chosen blocks exceed the VMEM
+        space the compile raises at the first step. A production run should
+        degrade to the (slower, always-compiling) XLA scan path with a
+        warning rather than die — the two paths are gradient-parity tested
+        (tests/test_train_frame_kernel.py), so the run's semantics are
+        unchanged. Compile errors surface before execution, so the train
+        state is still intact when we retry."""
+        try:
+            return self.train_step(self.state, pr, chord, shift)
+        except jax.errors.JaxRuntimeError as e:
+            if not self._kernel_fallback_armed:
+                raise
+            self._kernel_fallback_armed = False
+            import dataclasses
+            import warnings
+            warnings.warn(
+                "fused train kernel failed to compile on this device "
+                f"({type(e).__name__}: {str(e)[:200]}); falling back to "
+                "the XLA scan path (gradient-parity tested, slower)")
+            self.mcfg = dataclasses.replace(
+                self.mcfg, train_frame_kernel=False, train_seq_kernel=False,
+                remat_frames=True)
+            self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
+            self.eval_step = make_eval_step(self.mcfg, self.tcfg)
+            return self.train_step(self.state, pr, chord, shift)
 
     # -- phases ----------------------------------------------------------------
 
@@ -274,8 +307,8 @@ class Trainer:
             if prof and self.train_counter == prof[0] and self.run_paths:
                 jax.profiler.start_trace(
                     f"{self.run_paths.log_path}/profile")
-            self.state, metrics = self.train_step(
-                self.state, jnp.asarray(batch["pr"]),
+            self.state, metrics = self._run_train_step(
+                jnp.asarray(batch["pr"]),
                 jnp.asarray(batch["chord"]), jnp.asarray(batch["shift"]))
             if prof and self.train_counter == prof[1] and self.run_paths:
                 jax.tree_util.tree_map(

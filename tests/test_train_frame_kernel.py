@@ -238,5 +238,6 @@ def test_block_pickers():
     assert tf._pick_block_fwd(100) == 100      # single block, padded rows
     assert tf._pick_block_fwd(300) == 128
     assert tf._pick_block_fwd(1280, stash=True) == 256
-    assert tf._pick_block_bwd(2048) == 256
-    assert tf._pick_block_bwd(300) == 128
+    assert tf._pick_block_bwd(2048) == 128
+    assert tf._pick_block_bwd(300) == 128   # zero-padded to 384
+    assert tf._pick_block_bwd(64) == 64

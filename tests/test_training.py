@@ -271,3 +271,38 @@ def test_auto_accum_steps():
     # guidance instead of silently scanning 1-segment microbatches
     with pytest.raises(ValueError, match="divisible"):
         auto_accum_steps(remat, t(2053))
+
+
+def test_kernel_compile_failure_degrades_to_xla(corpora):
+    """A device where the fused train kernel's VMEM blocks do not compile
+    must degrade to the XLA scan path with a warning at the first step, not
+    kill the run (the kernels are tuned per chip generation)."""
+    train, val = corpora
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
+    tl, vl = make_loaders(train, val, batch_size=8, seed=0)
+    mcfg = dataclasses.replace(SMALL, train_seq_kernel=True)
+    tr = Trainer(mcfg, tcfg, tl, vl)
+    real_step = tr.train_step
+
+    calls = {"n": 0}
+
+    def exploding_step(state, pr, chord, shift):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: XLA:TPU compile permanent error. Ran out of memory "
+            "in memory space vmem (simulated).")
+
+    tr.train_step = exploding_step
+    with pytest.warns(UserWarning, match="falling back to the XLA"):
+        out = tr.train_epoch()
+    assert calls["n"] == 1                      # tried once, then rebuilt
+    assert np.isfinite(out["loss"])
+    assert not tr.mcfg.train_seq_kernel
+    assert not tr.mcfg.train_frame_kernel
+    assert not tr._kernel_fallback_armed
+
+    # a second failure (fallback disarmed) propagates
+    tr.train_step = exploding_step
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        tr.train_epoch()
+    del real_step
