@@ -213,8 +213,6 @@ def _summary_from_raws(spec, raws, sos_emb, lengths,
         K, B, 3 * EH)
     gib_all = (dot(flat, we_ih_ref[1]) + be_ih_ref[1:2, :]).reshape(
         K, B, 3 * EH)
-    # (K, 2B, 3EH): step k = [fwd gi of slot k | bwd gi of slot K-1-k]
-    gi_pack = jnp.concatenate([gif_all, gib_all[::-1]], axis=1)
     w_pack = jnp.concatenate([we_hh_ref[0], we_hh_ref[1]], axis=0)
     b_pack = jnp.concatenate(
         [jnp.broadcast_to(be_hh_ref[0:1, :], (B, 3 * EH)),
@@ -226,7 +224,11 @@ def _summary_from_raws(spec, raws, sos_emb, lengths,
             [jnp.concatenate([h[:B], zero], axis=1),
              jnp.concatenate([zero, h[B:]], axis=1)], axis=0)
         gh = dot(x, w_pack) + b_pack
-        h_new = _gru_pre(gi_pack[k], gh, h)
+        # step k = [fwd gi of slot k | bwd gi of slot K-1-k]; static
+        # per-step indexing — a [::-1] reverse would lower to lax.rev,
+        # which Mosaic has no TPU lowering for
+        gi_k = jnp.concatenate([gif_all[k], gib_all[K - 1 - k]], axis=0)
+        h_new = _gru_pre(gi_k, gh, h)
         m = jnp.concatenate([(k < lengths), (K - 1 - k < lengths)],
                             axis=0).astype(dtype)            # (2B, 1)
         h = m * h_new + (1.0 - m) * h

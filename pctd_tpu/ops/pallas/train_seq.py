@@ -72,17 +72,34 @@ def seq_weights(p: dict, cfg: ModelConfig):
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _lane_col(x_f32, j: int):
+    """Extract lane column ``j`` of a (bt, C) f32 block as a (bt, 1) value
+    at lane offset 0, via a one-hot selector dot. A plain ``x[:, j:j+1]``
+    slice keeps lane offset j in its Mosaic layout, and tpu.concatenate of
+    blocks with mismatched non-concat-dim offsets has no lowering ("result/
+    input offset mismatch"); the MXU dot is the offset-normalizing move.
+    Bit-exact: a one-hot f32 contraction of integer-valued f32 data."""
+    C = x_f32.shape[1]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == j).astype(
+        jnp.float32)
+    return jnp.dot(x_f32, sel, preferred_element_type=jnp.float32)
+
+
 def _gt_cat(spec, gt_pitch_ref, gt_dur_ref):
     """Slot-concatenated targets, sublane-aligned with the (K-1)*B-row
     batched intermediates. The targets ship batch-major — (bt, K-1) and
-    (bt, (K-1)*W) windows, batch in SUBLANES — so each slot/bit column is a
-    cheap lane slice; a (K-1, bt)-shaped window would need a lane->sublane
-    relayout to line up with the (KB, ...) tensors."""
+    (bt, (K-1)*W) windows, batch in SUBLANES. Each slot/bit column is
+    extracted with a selector dot (see _lane_col) so every piece lands at
+    lane offset 0 before the sublane concatenate; values are exact (ints
+    =< pitch_pad round-trip f32)."""
     K, W = spec.max_simu_note, spec.dur_width
-    gt_p = jnp.concatenate([gt_pitch_ref[:, k - 1:k] for k in range(1, K)])
+    gt_pf = gt_pitch_ref[:].astype(jnp.float32)
+    gt_df = gt_dur_ref[:].astype(jnp.float32)
+    gt_p = jnp.concatenate(
+        [_lane_col(gt_pf, k - 1) for k in range(1, K)]).astype(jnp.int32)
     gt_d = [jnp.concatenate(
-        [gt_dur_ref[:, (k - 1) * W + w:(k - 1) * W + w + 1]
-         for k in range(1, K)]) for w in range(W)]
+        [_lane_col(gt_df, (k - 1) * W + w) for k in range(1, K)]).astype(
+            jnp.int32) for w in range(W)]
     return gt_p, gt_d
 
 
