@@ -309,33 +309,41 @@ _FWD_BLOCK_OVERRIDE = None      # independent overrides for device tuning
 _BWD_BLOCK_OVERRIDE = None
 
 
-def _pick_block_fwd(B: int) -> int:
+def _pick_block_fwd(B: int, stash: bool = False) -> int:
     # The sequence forward carries the same VMEM load as the per-frame
     # forward plus the time-GRU weights (~8 MB bf16) and the (h, token)
-    # scratch; 512-row blocks fit comfortably (the per-frame forward fits
-    # 1024 WITH the full stash double-buffered).
+    # scratch. The PRIMAL forward fits 512-row blocks; the stash-mode
+    # forward (grad path: 4 double-buffered stash output windows on top)
+    # measured 151.5M of 128M VMEM at 512 — 99.4M of it register-allocator
+    # spill slots — so it takes 256-row blocks.
     if _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE:
         return _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE
-    if B <= 256:
+    cap = 256 if stash else 512
+    if B <= cap:
         return B
-    for bt in (512, 256):
-        if B % bt == 0:
+    for bt in (cap, 256, 128):
+        if bt <= cap and B % bt == 0:
             return bt
     return 128
 
 
-def _pick_block_bwd(B: int) -> int:
+def _pick_block_bwd(B: int, loss_mode: bool = False) -> int:
     # The per-frame backward sits at the VMEM ceiling at 256 rows; the
     # sequence backward adds the time-GRU weights (bf16 ~8 MB) + their f32
     # grad accumulators (~16 MB) + the gi_z window and d_gi_z accumulator,
-    # so it drops to 128-row blocks (measured headroom, see ARCHITECTURE.md).
+    # so it takes 128-row blocks. In fused-loss mode the in-kernel CE
+    # gradient (target windows, selector extracts, softmax rebuild) pushes
+    # register pressure past VMEM at 128 (measured 135.2M of 128M, 78.6M
+    # of it register-allocator spill slots) — 64-row blocks clear it.
     if _BWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE:
         return _BWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE
-    if B <= 128:
+    cap = 64 if loss_mode else 128
+    if B <= cap:
         return B
-    if B % 128 == 0:
-        return 128
-    return 64
+    for bt in (cap, 64):
+        if bt <= cap and B % bt == 0:
+            return bt
+    return 32
 
 
 _VMEM_LIMIT = 128 * 1024 * 1024
@@ -354,7 +362,7 @@ def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
                   spec.pitch_range)
     E = x_emb_tk.shape[-1]
     th = h0.shape[-1]
-    bt = _pick_block_fwd(B)
+    bt = _pick_block_fwd(B, stash=stash)
     Bp = -(-B // bt) * bt
     grid = (Bp // bt, T)        # t innermost: frames sequential per block
     dtype = h0.dtype
@@ -448,7 +456,7 @@ def _seq_bwd_call(spec, eh, nh, weights, h0, gi_z, coins1, coins2,
                   spec.pitch_range)
     E = ntok_st.shape[-1]
     th = h0.shape[-1]
-    bt = _pick_block_bwd(Bp)
+    bt = _pick_block_bwd(Bp, loss_mode=gt is not None)
     assert Bp % bt == 0, (Bp, bt)
     grid = (Bp // bt, T)
     dtype = h0.dtype

@@ -277,8 +277,13 @@ class Trainer:
         state is still intact when we retry."""
         try:
             return self.train_step(self.state, pr, chord, shift)
-        except jax.errors.JaxRuntimeError as e:
-            if not self._kernel_fallback_armed:
+        except Exception as e:
+            # XLA compile/runtime errors are JaxRuntimeError; Mosaic
+            # LOWERING failures raise MosaicError, which subclasses plain
+            # Exception — both are kernel-compile failures to degrade on
+            is_compile_err = (isinstance(e, jax.errors.JaxRuntimeError)
+                              or type(e).__name__ == "MosaicError")
+            if not (self._kernel_fallback_armed and is_compile_err):
                 raise
             self._kernel_fallback_armed = False
             import dataclasses

@@ -306,3 +306,39 @@ def test_kernel_compile_failure_degrades_to_xla(corpora):
     with pytest.raises(jax.errors.JaxRuntimeError):
         tr.train_epoch()
     del real_step
+
+
+def test_mosaic_lowering_failure_degrades_to_xla(corpora):
+    """Mosaic LOWERING failures raise MosaicError (a plain Exception, not a
+    JaxRuntimeError) — the degrade must catch those too; any other exception
+    type must still propagate untouched."""
+    from jax._src.pallas.mosaic.error_handling import MosaicError
+
+    train, val = corpora
+    tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
+    tl, vl = make_loaders(train, val, batch_size=8, seed=0)
+    mcfg = dataclasses.replace(SMALL, train_seq_kernel=True)
+    tr = Trainer(mcfg, tcfg, tl, vl)
+
+    def mosaic_exploding_step(state, pr, chord, shift):
+        raise MosaicError(
+            "INTERNAL: Mosaic failed to compile TPU kernel: Not "
+            "implemented: result/input offset mismatch (simulated).")
+
+    tr.train_step = mosaic_exploding_step
+    with pytest.warns(UserWarning, match="falling back to the XLA"):
+        out = tr.train_epoch()
+    assert np.isfinite(out["loss"])
+    assert not tr.mcfg.train_seq_kernel
+
+    # non-compile exception types propagate even while armed
+    tr2 = Trainer(dataclasses.replace(SMALL, train_seq_kernel=True),
+                  tcfg, tl, vl)
+
+    def value_error_step(state, pr, chord, shift):
+        raise ValueError("not a kernel-compile failure")
+
+    tr2.train_step = value_error_step
+    assert tr2._kernel_fallback_armed
+    with pytest.raises(ValueError, match="not a kernel-compile"):
+        tr2.train_epoch()
