@@ -368,7 +368,7 @@ def _ce_grad_dur(spec, logit, w, loss_md):
 
 def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
                     hs, tokens, x_emb0, d_pitch, d_dur, d_summ, add,
-                    loss_md=None):
+                    loss_md=None, flush=lambda *names: None):
     """Hand-differentiated frame backward, ref-free so the per-frame kernel
     (_bwd_kernel) and the fused-sequence kernel (train_seq) share it.
 
@@ -376,8 +376,13 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     scalar teacher coin; frame_h (B, TH); hs/tokens: the stashed serial
     chain (K entries each); x_emb0 (B, E) = the gt sos token; d_pitch
     (K-1, B, P), d_dur (K-1, W, B, 2), d_summ (B, 2*EH) cotangents.
-    add(name, val): f32 weight-grad accumulator. Returns (d_frame_h f32,
-    d_x_rows — list of K (B, E) cotangent rows in compute dtype).
+    add(name, val): f32 weight-grad accumulator. flush(*names): called when
+    the named accumulators receive their LAST add — a kernel can then fold
+    each into its VMEM-resident grad ref immediately, so the f32 grad
+    values (~28 MB at canonical dims) never all coexist as live vector
+    state (they dominated the register-allocator spill slots). Returns
+    (d_frame_h f32, d_x_rows — list of K (B, E) cotangent rows in compute
+    dtype).
 
     ``loss_md`` (fused-loss mode, train_seq._seq_bwd_kernel): d_pitch/d_dur
     are None and the logit cotangents are computed HERE from the rebuilt
@@ -532,6 +537,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     add("be_hh", jnp.concatenate(
         [jnp.sum(d_ghf_all, axis=0, keepdims=True),
          jnp.sum(d_ghb_all, axis=0, keepdims=True)]))
+    flush("we_ih", "we_hh", "be_ih", "be_hh")
 
     # ---- phase 2b: duration-chain + head backward, batched over slots
     # (the chains were rebuilt in phase 1; the only cross-slot path is the
@@ -568,6 +574,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
         if w == 0:
             add("dur_sos",
                 jnp.sum(dot(d_gi_d, w_dih.T), axis=0, keepdims=True))
+    flush("w_dout", "b_dout", "w_dih", "b_dih", "w_dhh", "b_dhh", "dur_sos")
 
     # project the chains' cotangents back to the note hiddens, batched.
     # w_dhid's weight grad is computed from the H / est halves separately:
@@ -585,6 +592,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     add("b_pitch", jnp.sum(d_est, axis=0, keepdims=True))
     dh_inj = (d_dhid_in[:, :nh] + dot(d_est, w_pitch.T)).reshape(
         K - 1, B, nh)
+    flush("w_dhid", "b_dhid", "w_pitch", "b_pitch")
 
     # ---- phase 2c: note-GRU reverse recurrence. Only the gate math and the
     # d_gh @ w_hh.T dot are serially dependent; the gate-projection dots for
@@ -613,6 +621,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
         d_gi_frame = d_gi_frame + d_gi
         d_token[k - 1] = dot(d_gi, w_ih_tok.T)
         dh_next = dh_prev
+    flush("w_hh", "b_hh", "w_ih_tok")
 
     # ---- phase 2d: emb grads + x_emb cotangents, batched over slots.
     # emb_k feeds the summary (d_pred) and, when the coin keeps the model
@@ -628,6 +637,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     d_emb_all = jnp.concatenate(d_emb_rows, axis=0)       # (KB, E) slot k=1..
     add("w_emb", wgrad(emb_in_all, d_emb_all))
     add("b_emb", jnp.sum(d_emb_all, axis=0, keepdims=True))
+    flush("w_emb", "b_emb")
 
     # h0 and gi_frame inputs
     add("w_t2n", wgrad(frame_h, dh_next))
@@ -636,6 +646,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     add("b_ih", jnp.sum(d_gi_frame, axis=0, keepdims=True))
     d_frame_h = dot(dh_next, wts["w_t2n"].T) + \
         dot(d_gi_frame, w_ih_frame.T)
+    flush("w_t2n", "b_t2n", "w_ih_frame", "b_ih")
     return d_frame_h, d_x_rows
 
 
@@ -654,22 +665,28 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     acc = {}
+    ref_by_name = dict(zip(_WNAMES, grad_refs))
 
     def add(name, val):
         acc[name] = val if name not in acc else acc[name] + val
+
+    def flush(*names):
+        # fold completed accumulators into the grad refs immediately so the
+        # f32 grad values don't all stay live until the end of the kernel
+        # (they dominated the register-allocator spill slots)
+        for name in names:
+            ref = ref_by_name[name]
+            ref[...] += acc.pop(name).astype(ref.dtype)
 
     wts = dict(zip(_WNAMES, (r[:] for r in refs)))
     d_frame_h, d_x_rows = _frame_bwd_core(
         spec, nh, wts, lambda k: coins_ref[k - 1, 0], frame_h_ref[:],
         [hs_in_ref[k] for k in range(K)],
         [tok_in_ref[k] for k in range(K)], x_emb_ref[0],
-        d_pitch_ref[:], d_dur_ref[:], d_summ_ref[:], add)
+        d_pitch_ref[:], d_dur_ref[:], d_summ_ref[:], add, flush=flush)
     d_frame_h_ref[:] = d_frame_h.astype(d_frame_h_ref.dtype)
     d_x_emb_ref[...] = jnp.stack(d_x_rows)
-
-    # flush weight-grad accumulators (+= across grid blocks)
-    for name, ref in zip(_WNAMES, grad_refs):
-        ref[...] += acc[name].astype(ref.dtype)
+    assert not acc, f"unflushed weight grads: {sorted(acc)}"
 
 
 # ---------------------------------------------------------------------------

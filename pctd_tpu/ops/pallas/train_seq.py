@@ -233,9 +233,18 @@ def _seq_bwd_kernel(spec, T: int, nh: int, loss_mode: bool, *args):
         dtok_scr[...] = jnp.zeros(dtok_scr.shape, f32)
 
     acc = {}
+    ref_by_name = dict(zip(_SEQ_WNAMES, grad_refs))
 
     def add(name, val):
         acc[name] = val if name not in acc else acc[name] + val
+
+    def flush(*names):
+        # fold completed accumulators into the grad refs immediately (the
+        # f32 grad values otherwise all stay live until kernel end and
+        # dominated the register-allocator spill slots)
+        for name in names:
+            ref = ref_by_name[name]
+            ref[...] += acc.pop(name).astype(ref.dtype)
 
     # token_{t+1} = where(coin1_t, x_sum_t, summ_t): the carried d_token is
     # the cotangent of the token consumed at step t+1, so it routes to this
@@ -259,7 +268,7 @@ def _seq_bwd_kernel(spec, T: int, nh: int, loss_mode: bool, *args):
         [hs_ref[k] for k in range(K)], tokens, tokens[0],
         None if loss_mode else d_pitch_ref[:],
         None if loss_mode else d_dur_ref[:], d_summ, add,
-        loss_md=loss_md)
+        loss_md=loss_md, flush=flush)
     d_x_emb_ref[...] = jnp.stack(d_x_rows)
 
     # time-GRU cell backward: h_t feeds this frame (d_frame_h) and the next
@@ -276,6 +285,7 @@ def _seq_bwd_kernel(spec, T: int, nh: int, loss_mode: bool, *args):
     add("wt_hh", wgrad(h_prev, d_gh))
     add("bt_hh", jnp.sum(d_gh, axis=0, keepdims=True))
     add("wt_tok", wgrad(token_t, d_gi))
+    flush("wt_hh", "bt_hh", "wt_tok")
 
     # gi_z is consumed at EVERY step: accumulate its per-row cotangent
     # across the t grid dim (block index constant in j)
@@ -296,8 +306,7 @@ def _seq_bwd_kernel(spec, T: int, nh: int, loss_mode: bool, *args):
         d_h0_ref[:] = dh_prev.astype(dtype)
         d_token0_ref[:] = d_token_t.astype(dtype)
 
-    for name, ref in zip(_SEQ_WNAMES, grad_refs):
-        ref[...] += acc[name].astype(ref.dtype)
+    assert not acc, f"unflushed weight grads: {sorted(acc)}"
 
 
 # ---------------------------------------------------------------------------
@@ -309,18 +318,25 @@ _FWD_BLOCK_OVERRIDE = None      # independent overrides for device tuning
 _BWD_BLOCK_OVERRIDE = None
 
 
-def _pick_block_fwd(B: int, stash: bool = False) -> int:
+def _pick_block_fwd(B: int, stash: bool = False,
+                    loss_mode: bool = False) -> int:
     # The sequence forward carries the same VMEM load as the per-frame
     # forward plus the time-GRU weights (~8 MB bf16) and the (h, token)
-    # scratch. The PRIMAL forward fits 512-row blocks; the stash-mode
-    # forward (grad path: 4 double-buffered stash output windows on top)
-    # measured 151.5M of 128M VMEM at 512 — 99.4M of it register-allocator
-    # spill slots — so it takes 256-row blocks.
+    # scratch. The PRIMAL logits-out forward fits 512-row blocks; the
+    # stash-mode forward (grad path: 4 double-buffered stash output windows
+    # on top) measured 151.5M of 128M VMEM at 512, and the fused-loss
+    # primal (in-VMEM masked CE on the (K-1)*bt-row logits) 129.0M — both
+    # dominated by ~99M of register-allocator spill slots — so those modes
+    # take 256-row blocks.
     if _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE:
         return _FWD_BLOCK_OVERRIDE or _BLOCK_OVERRIDE
-    cap = 256 if stash else 512
+    cap = 256 if (stash or loss_mode) else 512
     if B <= cap:
-        return B
+        # round the (single) block up to a multiple of 64 so the padded
+        # batch Bp is divisible by every backward block size (the bwd
+        # picker's fallbacks are 64/32) — a raw odd B like 300 would
+        # otherwise produce a Bp nothing downstream divides
+        return min(cap, -(-B // 64) * 64)
     for bt in (cap, 256, 128):
         if bt <= cap and B % bt == 0:
             return bt
@@ -362,7 +378,7 @@ def _seq_fwd_call(spec, eh, nh, weights, h0, token0, gi_z, x_emb_tk,
                   spec.pitch_range)
     E = x_emb_tk.shape[-1]
     th = h0.shape[-1]
-    bt = _pick_block_fwd(B, stash=stash)
+    bt = _pick_block_fwd(B, stash=stash, loss_mode=gt is not None)
     Bp = -(-B // bt) * bt
     grid = (Bp // bt, T)        # t innermost: frames sequential per block
     dtype = h0.dtype

@@ -248,6 +248,7 @@ def test_block_pickers():
 
     assert ts._pick_block_fwd(2048) == 512
     assert ts._pick_block_fwd(2048, stash=True) == 256
+    assert ts._pick_block_fwd(2048, loss_mode=True) == 256
     assert ts._pick_block_fwd(128, stash=True) == 128
     assert ts._pick_block_bwd(2048) == 128
     assert ts._pick_block_bwd(2048, loss_mode=True) == 64

@@ -195,7 +195,12 @@ def test_fused_loss_grad_parity():
 def test_block_pickers():
     assert ts._pick_block_fwd(2048) == 512
     assert ts._pick_block_fwd(256) == 256
-    assert ts._pick_block_fwd(300) == 128
+    # sub-cap batches round up to a 64-multiple block so Bp stays divisible
+    # by the backward's 64/32-row fallbacks
+    assert ts._pick_block_fwd(300) == 320
+    assert ts._pick_block_fwd(2048, stash=True) == 256
+    assert ts._pick_block_fwd(2048, loss_mode=True) == 256
     assert ts._pick_block_bwd(2048) == 128
     assert ts._pick_block_bwd(64) == 64
-    assert ts._pick_block_bwd(300) == 64
+    assert ts._pick_block_bwd(320) == 64
+    assert ts._pick_block_bwd(2048, loss_mode=True) == 64
