@@ -19,12 +19,61 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import time
+import traceback
 
 PEAK_FLOPS = {  # per chip, dense
     "bfloat16": 197e12,   # TPU v5e bf16
     "float32": 98.5e12,
 }
+
+# ---------------------------------------------------------------------------
+# Crash-safety (VERDICT r2 item 1b): round 2's driver bench executed ~30 min
+# of successful measurements and lost ALL of them to one late unguarded
+# Mosaic compile failure, because results were printed only at the very end.
+# Now: (a) EVERY section runs under _guard — a failure is recorded and the
+# bench continues; (b) each section's result is written incrementally to
+# bench_progress.json and echoed to stderr as it lands; (c) main() always
+# prints one valid JSON line on stdout, degrading the headline through
+# fallbacks instead of dying.
+# ---------------------------------------------------------------------------
+
+PROGRESS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_progress.json")
+
+_progress = {}      # label -> {"ok": bool, "seconds": N, ...}
+_failures = []      # [{"section": ..., "error": ...}]
+
+
+def _emit_progress(label: str, payload: dict):
+    _progress[label] = payload
+    try:
+        with open(PROGRESS_PATH, "w") as f:
+            json.dump(_progress, f, indent=1, default=str)
+    except OSError:
+        pass
+    status = "ok" if payload.get("ok") else f"FAIL {payload.get('error')}"
+    print(f"[bench] {label}: {status} ({payload.get('seconds')}s)",
+          file=sys.stderr, flush=True)
+
+
+def _guard(label: str, fn, *args, **kwargs):
+    """Run one bench section; on failure, record + continue (never raise)."""
+    t0 = time.perf_counter()
+    try:
+        result = fn(*args, **kwargs)
+        _emit_progress(label, {"ok": True,
+                               "seconds": round(time.perf_counter() - t0, 1),
+                               "result": result})
+        return result
+    except Exception as e:  # noqa: BLE001 — unattended driver run
+        traceback.print_exc(file=sys.stderr)
+        err = f"{type(e).__name__}: {str(e)[:300]}"
+        _failures.append({"section": label, "error": err})
+        _emit_progress(label, {"ok": False, "error": err,
+                               "seconds": round(time.perf_counter() - t0, 1)})
+        return None
 
 # Measurement discipline (VERDICT r1 #2): every number is the MEDIAN of
 # REPEATS independently-synced chains (after warmup), and each result carries
@@ -254,9 +303,55 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
             "ms_per_batch": dt * 1e3}
 
 
-def main():
-    import jax
+def _run_kernel_gate():
+    """Preflight (VERDICT r2 item 2): AOT-compile every Pallas kernel entry
+    over the realistic batch matrix BEFORE any timed section. With the
+    persistent compile cache these compiles ARE the timed sections' compiles,
+    so the marginal cost is only the extra combos; the payoff is that a
+    lowering regression surfaces as a labeled gate failure instead of a
+    mid-bench crash, and failed combos are skipped below."""
+    from pctd_tpu.ops.pallas import smoke
 
+    results, ok = smoke.run_gate(serve_batches=(128, 512),
+                                 train_batches=(2048,))
+    return {"ok": ok, "results": results}
+
+
+def _gate_allows(gate, label: str) -> bool:
+    """True unless the preflight gate explicitly recorded this combo as a
+    compile failure (gate crash/absence never blocks a measurement)."""
+    if not gate or "results" not in gate:
+        return True
+    r = gate["results"].get(label)
+    return r is None or bool(r.get("ok"))
+
+
+def _bench_multichip_cpu_mesh():
+    """CPU-mesh scaling smoke (VERDICT r2 item 8): subprocess on 8 virtual
+    CPU devices — same tiny global batch on a 1-device vs 8-device data mesh,
+    assert loss equality, record wall-clock. Labeled CPU-mesh-only: this
+    exercises the sharded path's overheads continuously, it is NOT a TPU
+    scaling claim."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags +
+                        " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run([sys.executable, "scripts/bench_multichip.py"],
+                          env=env, cwd=repo, capture_output=True, text=True,
+                          timeout=1800)
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench_multichip rc={proc.returncode}: "
+                           f"{proc.stderr[-500:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
     baseline = None
     bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BASELINE_MEASURED.json")
@@ -264,126 +359,172 @@ def main():
         with open(bpath) as f:
             baseline = json.load(f)
 
+    gate = _guard("kernel_gate", _run_kernel_gate)
+
     # throughput config: bf16, B=2048, fused train-frame Pallas kernel with
     # hand-written VJP (ops/pallas/train_frame) — the whole teacher-forced
-    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd. Measured 7449
-    # seg/s vs 6404 for the XLA-scan + frame-remat path (B=4096 OOMs both
-    # ways; B=3072 was plateau already on the XLA path).
-    big = _bench_train_step(n_steps=8, batch_size=2048,
-                            compute_dtype="bfloat16", with_cost=True,
-                            remat=True, frame_kernel=True)
+    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd.
+    big = _guard("train_b2048_frame_kernel", _bench_train_step,
+                 n_steps=8, batch_size=2048, compute_dtype="bfloat16",
+                 with_cost=True, remat=True, frame_kernel=True)
     # whole-sequence fused kernel (time level folded in, ops/pallas/
     # train_seq); the headline below is the measured best of the two.
-    # Guarded: a Mosaic regression in the newer kernel must degrade the
-    # headline to the per-frame kernel, not kill the unattended bench run.
-    try:
-        big_seq = _bench_train_step(n_steps=8, batch_size=2048,
-                                    compute_dtype="bfloat16", with_cost=True,
-                                    seq_kernel=True)
-    except Exception as e:          # pragma: no cover - device-specific
-        import sys
-        print(f"seq-kernel bench failed ({type(e).__name__}); "
-              f"falling back to per-frame kernel", file=sys.stderr)
-        big_seq = None
-    if big_seq and big_seq["segments_per_sec"] > big["segments_per_sec"]:
-        big, big_alt, alt_note = big_seq, big, "per-frame kernel"
-        note = ("fused whole-sequence Pallas kernel "
-                "(time+note+dur levels, hand-written VJP)")
-    else:
-        big_alt, alt_note = big_seq, "whole-sequence kernel"
-        note = "fused train-frame Pallas kernel (hand-written VJP)"
+    big_seq = _guard("train_b2048_seq_kernel", _bench_train_step,
+                     n_steps=8, batch_size=2048, compute_dtype="bfloat16",
+                     with_cost=True, seq_kernel=True)
     # the XLA nested-scan path at the same shape (frame remat + dur unroll)
-    big_xla = _bench_train_step(n_steps=8, batch_size=2048,
-                                compute_dtype="bfloat16",
-                                remat=True, unroll_dur=5)
+    big_xla = _guard("train_b2048_xla", _bench_train_step,
+                     n_steps=8, batch_size=2048, compute_dtype="bfloat16",
+                     remat=True, unroll_dur=5)
     # B=4096: exceeds the single-step HBM envelope; TrainConfig.accum_steps=0
     # (auto) engages 2 microbatches so it trains instead of OOMing
-    b4096 = _bench_train_step(n_steps=4, batch_size=4096,
-                              compute_dtype="bfloat16", remat=True,
-                              frame_kernel=True)
+    b4096 = _guard("train_b4096_auto_accum", _bench_train_step,
+                   n_steps=4, batch_size=4096, compute_dtype="bfloat16",
+                   remat=True, frame_kernel=True)
     # canonical-parity configs at the reference batch size
-    b128_bf16 = _bench_train_step(compute_dtype="bfloat16")
-    b128_kernel = _bench_train_step(compute_dtype="bfloat16",
-                                    remat=True, frame_kernel=True)
-    b128_f32 = _bench_train_step(compute_dtype="float32")
-    tens_per_sec = _bench_tensorize()
-    dec_pallas = _bench_sampler("pallas")
-    dec_full = _bench_sampler("pallas_full")
-    dec_xla = _bench_sampler("xla")
-    # batch-scaling point: the decode is serial-latency bound, so rows are
-    # nearly free — throughput serving wants the bigger fixed batch
-    dec_full512 = _bench_sampler("pallas_full", batch_size=512)
+    b128_bf16 = _guard("train_b128_bf16", _bench_train_step,
+                       compute_dtype="bfloat16")
+    b128_kernel = _guard("train_b128_frame_kernel", _bench_train_step,
+                         compute_dtype="bfloat16", remat=True,
+                         frame_kernel=True)
+    b128_f32 = _guard("train_b128_f32", _bench_train_step,
+                      compute_dtype="float32")
+    tens_per_sec = _guard("tensorize", _bench_tensorize)
+
+    # serving decode matrix; combos the preflight gate saw fail are skipped
+    # (recorded as gate failures), everything else is guarded individually
+    decodes = []
+    for backend, bs in (("pallas", 128), ("pallas_full", 128), ("xla", 128),
+                        ("pallas", 512), ("pallas_full", 512)):
+        label = f"decode_{backend}_b{bs}"
+        if backend != "xla" and not _gate_allows(
+                gate, f"serve_{backend}_b{bs}"):
+            _emit_progress(label, {"ok": False, "seconds": 0.0,
+                                   "error": "skipped: preflight gate "
+                                            "recorded a compile failure"})
+            continue
+        d = _guard(label, _bench_sampler, backend, batch_size=bs)
+        if d:
+            decodes.append(d)
+
+    multichip = _guard("multichip_cpu_mesh", _bench_multichip_cpu_mesh)
+
+    # headline selection with fallbacks: best verified kernel config, else
+    # XLA path, else the canonical B=128 config — the artifact degrades, it
+    # never nulls.
+    candidates = [
+        (big, "fused train-frame Pallas kernel (hand-written VJP)"),
+        (big_seq, "fused whole-sequence Pallas kernel "
+                  "(time+note+dur levels, hand-written VJP)"),
+    ]
+    live = [(r, n) for r, n in candidates if r]
+    if live:
+        big_best, note = max(live, key=lambda t: t[0]["segments_per_sec"])
+    elif big_xla:
+        big_best, note = big_xla, "XLA nested-scan path (kernel benches " \
+                                  "failed — see failures)"
+    elif b128_bf16:
+        big_best, note = b128_bf16, "canonical B=128 config (all B=2048 " \
+                                    "benches failed — see failures)"
+    else:
+        big_best, note = None, "ALL train benches failed — see failures"
+
+    alt = None
+    if live and len(live) == 2:
+        loser = min(live, key=lambda t: t[0]["segments_per_sec"])
+        alt = {"which": loser[1],
+               "segments_per_sec": round(loser[0]["segments_per_sec"], 2),
+               "step_seconds": round(loser[0]["step_seconds"], 5)}
 
     mfu = None
-    if big["flops_per_step"]:
-        mfu = (big["flops_per_step"] / big["step_seconds"]
+    if big_best and big_best.get("flops_per_step"):
+        mfu = (big_best["flops_per_step"] / big_best["step_seconds"]
                / PEAK_FLOPS["bfloat16"])
 
     ref_rate = (baseline or {}).get("train_step", {}).get(
         "segments_per_sec", None)
-    vs = big["segments_per_sec"] / ref_rate if ref_rate else None
+    vs = (big_best["segments_per_sec"] / ref_rate
+          if big_best and ref_rate else None)
+
+    def _row(r, *keys):
+        if not r:
+            return None
+        out = {}
+        for k in keys:
+            v = r.get(k)
+            out[k] = round(v, 5) if isinstance(v, float) else v
+        return out
 
     print(json.dumps({
         "metric": "train_segments_per_sec_per_chip",
-        "value": round(big["segments_per_sec"], 2),
-        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs=2048, "
-                "bf16 compute / f32 losses, fused train-frame Pallas kernel)",
+        "value": round(big_best["segments_per_sec"], 2) if big_best else None,
+        "unit": "2-bar segments/sec/chip (canonical VAE train step, bs="
+                f"{big_best['batch_size'] if big_best else '?'}, bf16 "
+                "compute / f32 losses)",
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": {
             "throughput_config": {k: (round(v, 5) if isinstance(v, float)
                                       else v)
-                                  for k, v in big.items()},
+                                  for k, v in big_best.items()}
+            if big_best else None,
             "throughput_config_note": note,
-            "train_b2048_bf16_alt_kernel": {
-                "which": alt_note,
-                "segments_per_sec": round(big_alt["segments_per_sec"], 2),
-                "step_seconds": round(big_alt["step_seconds"], 5),
-            } if big_alt else None,
-            "train_b2048_bf16_xla_scans": {
-                "segments_per_sec": round(big_xla["segments_per_sec"], 2),
-                "step_seconds": round(big_xla["step_seconds"], 5),
-            },
+            "train_b2048_bf16_alt_kernel": alt,
+            "train_b2048_bf16_xla_scans": _row(
+                big_xla, "segments_per_sec", "step_seconds"),
             "mfu_bf16_analytic_matmul": round(mfu, 4) if mfu else None,
-            "train_b128_bf16": {
-                "segments_per_sec": round(b128_bf16["segments_per_sec"], 2),
-                "step_seconds": round(b128_bf16["step_seconds"], 5),
-                "step_seconds_hostsync": round(
-                    b128_bf16["step_seconds_hostsync"], 5),
-                "final_loss": round(b128_bf16["final_loss"], 4),
-            },
-            "train_b128_bf16_frame_kernel": {
-                "segments_per_sec": round(b128_kernel["segments_per_sec"],
-                                          2),
-                "step_seconds": round(b128_kernel["step_seconds"], 5),
-            },
-            "train_b128_f32": {
-                "segments_per_sec": round(b128_f32["segments_per_sec"], 2),
-                "step_seconds": round(b128_f32["step_seconds"], 5),
-            },
-            "train_b4096_bf16_kernel_auto_accum": {
-                "segments_per_sec": round(b4096["segments_per_sec"], 2),
-                "step_seconds": round(b4096["step_seconds"], 5),
-                "accum_steps": b4096["accum_steps"],
-            },
-            "tensorize_segments_per_sec": round(tens_per_sec, 1),
+            "train_b128_bf16": _row(b128_bf16, "segments_per_sec",
+                                    "step_seconds", "step_seconds_hostsync",
+                                    "final_loss"),
+            "train_b128_bf16_frame_kernel": _row(
+                b128_kernel, "segments_per_sec", "step_seconds"),
+            "train_b128_f32": _row(b128_f32, "segments_per_sec",
+                                   "step_seconds"),
+            "train_b4096_bf16_kernel_auto_accum": _row(
+                b4096, "segments_per_sec", "step_seconds", "accum_steps"),
+            "tensorize_segments_per_sec": round(tens_per_sec, 1)
+            if tens_per_sec else None,
             "sample_decode": [
                 {"backend": d["backend"], "batch_size": d["batch_size"],
                  "segments_per_sec": round(d["segments_per_sec"], 2),
                  "ms_per_batch": round(d["ms_per_batch"], 1)}
-                for d in (dec_pallas, dec_full, dec_xla,
-                          dec_full512)],
-            "device": str(jax.devices()[0]),
+                for d in decodes],
+            "kernel_gate": gate,
+            "multichip_cpu_mesh": multichip,
+            "failures": _failures,
+            "device": _guard("device_probe", _device_str),
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",
             "timing": {
                 "method": f"median of {REPEATS} synced chains after warmup",
-                "max_rel_spread": round(max(s for _, s in _spreads), 4),
-                "worst_section": max(_spreads, key=lambda t: t[1])[0],
-                "contended": bool(max(s for _, s in _spreads) > SPREAD_WARN),
+                "max_rel_spread": round(max(s for _, s in _spreads), 4)
+                if _spreads else None,
+                "worst_section": max(_spreads, key=lambda t: t[1])[0]
+                if _spreads else None,
+                "contended": bool(max(s for _, s in _spreads) > SPREAD_WARN)
+                if _spreads else None,
             },
         },
     }))
 
 
+def _device_str():
+    import jax
+
+    return str(jax.devices()[0])
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the artifact must never null
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "train_segments_per_sec_per_chip",
+            "value": None,
+            "unit": "2-bar segments/sec/chip",
+            "vs_baseline": None,
+            "extra": {"fatal": f"{type(e).__name__}: {str(e)[:300]}",
+                      "failures": _failures,
+                      "progress": _progress},
+        }))
+        raise SystemExit(0)

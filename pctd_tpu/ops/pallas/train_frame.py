@@ -812,7 +812,12 @@ def _specs(bt, coins_shape):
     return batch_spec, wspec, coin_spec
 
 
-_VMEM_LIMIT = 120 * 1024 * 1024
+def _VMEM_LIMIT() -> int:
+    # 120 MiB of the v5e's 128 MiB ceiling (8 MiB headroom was measured
+    # necessary for the grid machinery); scale both to this device's VMEM
+    from pctd_tpu.utils import device_mem
+
+    return int(device_mem.vmem_bytes() * 120 / 128)
 
 
 def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
@@ -848,7 +853,7 @@ def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
         kernel, grid=grid, out_shape=tuple(out_shape), in_specs=in_specs,
         out_specs=tuple(out_specs), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=_VMEM_LIMIT()),
     )(coins, frame_h, x_emb_kbe, *weights)
     pitch, dur, summ, lengths = outs[:4]
     public = (jnp.swapaxes(pitch[:, :B], 0, 1),

@@ -67,20 +67,26 @@ def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
     """Resolve TrainConfig.accum_steps, where 0 = automatic.
 
     Auto engages just enough microbatches that each stays inside the
-    measured per-step HBM envelope of a 16G chip: 2048 segments with frame
-    remat or the fused train-frame kernel (BENCH B=2048 headline config),
-    512 without (remat is what "enables batch >= 1024", ARCHITECTURE
-    batch-scaling table; B=4096 in one step OOMs on both paths). Picks the
-    smallest microbatch count that divides the batch (required by the
-    accumulation reshape), so any reasonable batch size trains instead of
-    OOMing. A batch with no small divisor (e.g. a prime > envelope) has no
-    usable microbatch split — that raises with guidance rather than
-    silently compiling a 1-segment-per-microbatch scan.
+    per-step HBM envelope: 2048 segments with frame remat or the fused
+    train-frame kernel (BENCH B=2048 headline config), 512 without (remat
+    is what "enables batch >= 1024", ARCHITECTURE batch-scaling table;
+    B=4096 in one step OOMs on both paths) — measured on a 16 GiB chip and
+    scaled linearly to this device's HBM (utils.device_mem; activation
+    memory dominates and is batch-proportional; unknown HBM keeps the
+    measured constants). Picks the smallest microbatch count that divides
+    the batch (required by the accumulation reshape), so any reasonable
+    batch size trains instead of OOMing. A batch with no small divisor
+    (e.g. a prime > envelope) has no usable microbatch split — that raises
+    with guidance rather than silently compiling a 1-segment-per-microbatch
+    scan.
     """
     if tcfg.accum_steps > 0:
         return tcfg.accum_steps
-    envelope = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel
-                        or mcfg.train_seq_kernel) else 512
+    from pctd_tpu.utils import device_mem
+
+    base = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel
+                    or mcfg.train_seq_kernel) else 512
+    envelope = device_mem.scale_by_hbm(base)
     B = tcfg.batch_size
     ideal = max(1, -(-B // envelope))
     need = ideal
@@ -334,7 +340,13 @@ class Trainer:
         return dict(zip(dv.METRIC_NAMES, map(float, vals)))
 
     def eval_epoch(self) -> Dict[str, float]:
-        acc = {k: 0.0 for k in dv.METRIC_NAMES}
+        # Same on-device accumulation + decimated writes as train_epoch:
+        # epoch averages stay exact (one async device-side add per batch),
+        # and only every log_every-th batch pays the host transfer. The
+        # reference syncs 11 scalars to host every val batch
+        # (module.py:161-177); that per-batch float() tax was the last
+        # host-sync left in the epoch loop (VERDICT r2 item 5).
+        sums = None
         n = 0
         for i, batch in enumerate(self.val_batches.epoch()):
             key = jax.random.fold_in(
@@ -343,18 +355,20 @@ class Trainer:
                 self.state.params, self.state.step, key,
                 jnp.asarray(batch["pr"]), jnp.asarray(batch["chord"]),
                 jnp.asarray(batch["shift"]))
-            host = self._metrics_to_host(metrics)
-            if self.writers:
+            stacked = self._stack(metrics)
+            sums = stacked if sums is None else self._add(sums, stacked)
+            if self.writers and self.val_counter % self.log_every == 0:
+                host = dict(zip(dv.METRIC_NAMES,
+                                map(float, np.asarray(stacked))))
                 self.writers.write_task("val", host, self.val_counter)
-            for k, v in host.items():
-                acc[k] += v
             self.val_counter += 1
             n += 1
         if n == 0:
             # an empty val iterator must not report 0.0 (it would win
             # best-checkpoint selection); inf keeps 'no signal' inert.
             return {k: float("inf") for k in dv.METRIC_NAMES}
-        return {k: v / n for k, v in acc.items()}
+        vals = np.asarray(sums) / n
+        return dict(zip(dv.METRIC_NAMES, map(float, vals)))
 
     # -- checkpointing -----------------------------------------------------------
 
