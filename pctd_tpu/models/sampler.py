@@ -26,15 +26,31 @@ from pctd_tpu.config import ModelConfig
 from pctd_tpu.models import disentangle_vae as dv
 
 
+#: ``frame_decoder="auto"`` tries these in order, degrading to the next on a
+#: kernel compile failure (same one-shot pattern as Trainer._run_train_step;
+#: all three backends are output-parity tested, so degrading only costs
+#: speed, never correctness). The XLA path always compiles — the chain
+#: cannot dead-end.
+AUTO_CHAIN = ("pallas_full", "pallas", "xla")
+
+
 class Sampler:
     """``fixed_batch=N`` turns on production-serving shape discipline: every
     encode/decode pads its batch up to N (zeros) and slices the result back,
     so requests of any size reuse ONE compiled program instead of paying a
     multi-minute TPU compile per new shape; batches larger than N run in
-    N-sized chunks."""
+    N-sized chunks.
+
+    ``frame_decoder="auto"`` (the default) picks the fastest available
+    backend per device: jit defers kernel compilation to the first decode
+    call, so the first call attempts ``pallas_full`` and degrades down
+    :data:`AUTO_CHAIN` on Mosaic/XLA compile failure with a warning — a
+    serving daemon on a chip where a fused kernel's layout doesn't lower
+    (e.g. the round-2 B>=512 dur-bits store) serves slower instead of dying.
+    """
 
     def __init__(self, params: dict, cfg: ModelConfig,
-                 frame_decoder: str = "pallas", mesh=None,
+                 frame_decoder: str = "auto", mesh=None,
                  fixed_batch: Optional[int] = None):
         if fixed_batch is not None and mesh is not None \
                 and fixed_batch % mesh.size:
@@ -42,25 +58,25 @@ class Sampler:
                              f"mesh size {mesh.size}")
         self.fixed_batch = fixed_batch
         self.params = params
-        if frame_decoder == "xla" and cfg.unroll_dur == 1:
-            # serving default: unrolled dur chain measures ~10% faster at
-            # B=128 (47.9 vs 52.9 ms/batch) with identical outputs
-            import dataclasses
-
-            cfg = dataclasses.replace(cfg, unroll_dur=5)
         self.cfg = cfg
-        self.frame_decoder = frame_decoder
         self.mesh = mesh
-
-        def dec_fn(params, z_chd, z_rhy):
-            return dv.decode_z(params, cfg=cfg, z_chd=z_chd, z_rhy=z_rhy,
-                               frame_decoder=frame_decoder)
+        if frame_decoder == "auto":
+            if jax.devices()[0].platform == "tpu":
+                self._chain = list(AUTO_CHAIN)
+            else:
+                # off-TPU the fused kernels only run in interpret mode
+                # (test-only, orders of magnitude slower) — serving there
+                # means the XLA path, directly
+                self._chain = ["xla"]
+        else:
+            self._chain = [frame_decoder]
+        self.frame_decoder = self._chain[0]
+        self._build_decode(self.frame_decoder)
 
         def enc_fn(params, pr_mat, c, dt_x):
             return dv.encode(params, cfg, pr_mat, c, dt_x)
 
         if mesh is None:
-            self._decode = jax.jit(dec_fn)
             self._encode = jax.jit(partial(dv.encode, cfg=cfg))
         else:
             from jax.sharding import PartitionSpec as P
@@ -68,9 +84,6 @@ class Sampler:
             from pctd_tpu.parallel.mesh import shard_map
 
             data = P(tuple(mesh.axis_names))
-            self._decode = jax.jit(shard_map(
-                dec_fn, mesh=mesh, in_specs=(P(), data, data),
-                out_specs=data, check_vma=False))
             self._encode_sharded = jax.jit(shard_map(
                 enc_fn, mesh=mesh, in_specs=(P(), data, data, data),
                 out_specs=data, check_vma=False))
@@ -79,6 +92,55 @@ class Sampler:
                 lambda params, pr_mat, c: enc_fn(params, pr_mat, c, None),
                 mesh=mesh, in_specs=(P(), data, data), out_specs=data,
                 check_vma=False))
+
+    def _build_decode(self, backend: str):
+        cfg = self.cfg
+        if backend == "xla" and cfg.unroll_dur == 1:
+            # serving default: unrolled dur chain measures ~10% faster at
+            # B=128 (47.9 vs 52.9 ms/batch) with identical outputs
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, unroll_dur=5)
+
+        def dec_fn(params, z_chd, z_rhy):
+            return dv.decode_z(params, cfg=cfg, z_chd=z_chd, z_rhy=z_rhy,
+                               frame_decoder=backend)
+
+        if self.mesh is None:
+            self._decode = jax.jit(dec_fn)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from pctd_tpu.parallel.mesh import shard_map
+
+            data = P(tuple(self.mesh.axis_names))
+            self._decode = jax.jit(shard_map(
+                dec_fn, mesh=self.mesh, in_specs=(P(), data, data),
+                out_specs=data, check_vma=False))
+        self.frame_decoder = backend
+
+    def _decode_degrading(self, zc, zr):
+        """One decode call, degrading down the backend chain on kernel
+        compile failure (jit compiles at first call per shape, so the
+        failure surfaces here, before any output exists)."""
+        while True:
+            try:
+                return self._decode(self.params, zc, zr)
+            except Exception as e:
+                is_compile_err = (isinstance(e, jax.errors.JaxRuntimeError)
+                                  or type(e).__name__ == "MosaicError")
+                idx = self._chain.index(self.frame_decoder)
+                if not is_compile_err or idx + 1 >= len(self._chain):
+                    raise
+                import warnings
+
+                nxt = self._chain[idx + 1]
+                warnings.warn(
+                    f"frame decoder '{self.frame_decoder}' failed to "
+                    f"compile on this device ({type(e).__name__}: "
+                    f"{str(e)[:200]}); degrading to '{nxt}' "
+                    "(output-parity tested, slower)")
+                self._build_decode(nxt)
 
     # -- core ------------------------------------------------------------------
 
@@ -133,8 +195,8 @@ class Sampler:
     def decode(self, z_chd, z_rhy) -> np.ndarray:
         z_chd, z_rhy = jnp.asarray(z_chd), jnp.asarray(z_rhy)
         self._check_batch(z_chd.shape[0])
-        return np.asarray(self._chunked(
-            lambda zc, zr: self._decode(self.params, zc, zr), z_chd, z_rhy))
+        return np.asarray(self._chunked(self._decode_degrading,
+                                        z_chd, z_rhy))
 
     def reconstruct(self, pr_mat, c, sample: bool = False,
                     key: Optional[jax.Array] = None) -> np.ndarray:

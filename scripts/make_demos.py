@@ -57,8 +57,10 @@ def main():
     ap.add_argument("--midi-dir", default=None,
                     help="source segments from a corpus ingested from raw "
                          "MIDI files instead of the synthetic corpus")
-    ap.add_argument("--frame-decoder", default="xla",
-                    choices=["xla", "pallas", "pallas_full"])
+    ap.add_argument("--frame-decoder", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas_full"],
+                    help="'auto' picks the fastest backend for the device "
+                         "and degrades on kernel compile failure")
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. 'cpu'; the axon TPU "
                          "plugin ignores JAX_PLATFORMS from the environment)")

@@ -28,7 +28,7 @@ non-object payloads, missing files) — each gets an ok:false reply.
 
 Usage:
     python scripts/serve.py --checkpoint runs/result_*/models/disvae_valid \
-        [--fixed-batch 16] [--frame-decoder pallas] [--data-parallel]
+        [--fixed-batch 16] [--frame-decoder auto] [--data-parallel]
 """
 from __future__ import annotations
 
@@ -184,8 +184,10 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--fixed-batch", type=int, default=16)
     ap.add_argument("--max-windows", type=int, default=64)
-    ap.add_argument("--frame-decoder", default="xla",
-                    choices=["xla", "pallas", "pallas_full"])
+    ap.add_argument("--frame-decoder", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas_full"],
+                    help="'auto' picks the fastest backend for the device "
+                         "and degrades on kernel compile failure")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard request batches over all visible devices")
     ap.add_argument("--tiny", action="store_true",

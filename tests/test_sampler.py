@@ -125,3 +125,65 @@ def test_sampler_batch_guards():
     with pytest.raises(ValueError, match="empty batch"):
         f.decode(np.zeros((0, SMALL.chd_z_dim)),
                  np.zeros((0, SMALL.txt_z_dim)))
+
+
+def test_sampler_auto_resolves_to_xla_off_tpu():
+    """frame_decoder='auto' (the default) must resolve to the XLA path on a
+    non-TPU backend instead of tripping interpret-mode Pallas."""
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    s = Sampler(params, SMALL)  # default: auto
+    assert s.frame_decoder == "xla"
+    x, c, pr_mat = random_batch(2, seed=52)
+    est = s.reconstruct(pr_mat, c)
+    assert est.shape == (2, 32, SMALL.pianotree.max_simu_note - 1, 6)
+
+
+def test_sampler_auto_degrades_on_compile_failure():
+    """The auto chain must walk pallas_full -> pallas -> xla on kernel
+    compile failures (VERDICT r2 item 7), mirroring Trainer's one-shot
+    degrade. Simulated here: the two kernel backends raise the compile
+    error class jit surfaces on the first call."""
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    s = Sampler(params, SMALL, frame_decoder="xla")
+    real_build = s._build_decode
+    built = []
+
+    def fake_build(backend):
+        built.append(backend)
+        if backend == "xla":
+            real_build(backend)
+        else:
+            def boom(params, zc, zr):
+                raise jax.errors.JaxRuntimeError(
+                    f"synthetic Mosaic failure in {backend}")
+
+            s._decode = boom
+            s.frame_decoder = backend
+
+    s._build_decode = fake_build
+    s._chain = ["pallas_full", "pallas", "xla"]
+    fake_build("pallas_full")
+
+    zc = np.zeros((2, SMALL.chd_z_dim), np.float32)
+    zr = np.zeros((2, SMALL.txt_z_dim), np.float32)
+    with pytest.warns(UserWarning, match="degrading to"):
+        est = s.decode(zc, zr)
+    assert s.frame_decoder == "xla"
+    assert built == ["pallas_full", "pallas", "xla"]
+    assert est.shape == (2, 32, SMALL.pianotree.max_simu_note - 1, 6)
+
+
+def test_sampler_explicit_backend_failure_raises():
+    """An explicitly-requested backend must NOT silently degrade — the
+    chain has length 1, so the compile error propagates."""
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    s = Sampler(params, SMALL, frame_decoder="xla")
+
+    def boom(params, zc, zr):
+        raise jax.errors.JaxRuntimeError("synthetic failure")
+
+    s._decode = boom
+    zc = np.zeros((2, SMALL.chd_z_dim), np.float32)
+    zr = np.zeros((2, SMALL.txt_z_dim), np.float32)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        s.decode(zc, zr)
