@@ -65,7 +65,7 @@ def _full_kernel(spec: PianoTreeSpec, T: int, layout, frame_layout,
                  w_dih_ref, b_dih_ref, w_dcomb_ref, b_dcomb_ref,
                  dur_sos_ref, w_emb_ref, b_emb_ref,
                  we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
-                 pitch_idx_ref, dur_bits_ref):
+                 out_ref):
     K = spec.max_simu_note
     W = spec.dur_width
     B = h0_ref.shape[0]
@@ -80,15 +80,20 @@ def _full_kernel(spec: PianoTreeSpec, T: int, layout, frame_layout,
     def frame(t, hid, gi_frame):
         """One frame's note+dur decode; writes outputs at time t, returns
         the masked bi-GRU summary of the predicted notes."""
-
         def emit(k, pitch_ind, dur_bits):
-            # outputs are laid out rows-first — (T*(K-1), B) and
-            # (T*(K-1)*W, B) — so the (8, 128)-tiled trailing dims stay
-            # dense; a (T, B, K-1, W) layout pads W->128 and overflows
-            # scoped VMEM (measured: 17.7M > 16M limit)
-            slot = t * (K - 1) + (k - 1)
-            pitch_idx_ref[pl.ds(slot, 1), :] = pitch_ind[None]
-            dur_bits_ref[pl.ds(slot * W, W), :] = dur_bits.T
+            # One full (8, B) tile store per slot into the (T, K-1, 8, B)
+            # ref: rows = [pitch | W dur bits | zero pad]. Both store
+            # indices (dynamic t, static k-1) land on UNTILED leading dims
+            # and the stored block is exactly one (8, lanes) tile at
+            # sublane offset 0 — the only store shape Mosaic accepts
+            # unconditionally. (The original 2D rows-first layout stored at
+            # sublane offset slot*W — not 8-aligned; MosaicError "cannot
+            # statically prove that index in dimension 0 is a multiple of
+            # 8" at B=512.)
+            block = jnp.concatenate(
+                [pitch_ind[None], dur_bits.T,
+                 jnp.zeros((7 - W, B), jnp.int32)], axis=0)
+            out_ref[t, k - 1] = block
 
         raws, lengths = _slot_chain(
             spec, layout, hid, gi_frame,
@@ -157,22 +162,49 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
             ) + slot_args + summary_args
 
     kernel = functools.partial(_full_kernel, spec, T, layout, frame_layout)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T * (K - 1), B), jnp.int32),
-        jax.ShapeDtypeStruct((T * (K - 1) * W, B), jnp.int32),
-    )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    pitch_rows, dur_rows = pl.pallas_call(
+
+    # Grid over the batch in 128-lane blocks: Mosaic compile time for this
+    # kernel explodes with the lane width (B=128 compiles in ~14 s on v5e;
+    # B=300 crashes the compile helper, B=512 hangs it >40 min), so we never
+    # compile a wider-than-128 kernel body. Each grid step decodes one
+    # 128-row batch slab; the ~30 MB of weights have constant index maps, so
+    # the Pallas pipeline keeps them resident in VMEM across steps instead
+    # of re-DMAing. Batches that are not a multiple of 128 are zero-padded
+    # (rows are independent; pad rows compute garbage that is sliced off).
+    bblk = min(B, 128)
+    nb = -(-B // bblk)
+    Bp = nb * bblk
+    n_batch_args = 4  # h0, gi_z, token0, sos_emb — the only (B, d) inputs
+    if Bp != B:
+        args = tuple(
+            jnp.pad(a, ((0, Bp - B), (0, 0))) if j < n_batch_args else a
+            for j, a in enumerate(args))
+    in_specs = [
+        pl.BlockSpec((bblk, a.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for a in args[:n_batch_args]
+    ] + [
+        pl.BlockSpec(a.shape, functools.partial(
+            lambda nd, i: (0,) * nd, a.ndim), memory_space=pltpu.VMEM)
+        for a in args[n_batch_args:]
+    ]
+    # (T, K-1, 8, B): one (8, B) tile per (frame, slot) — row 0 pitch,
+    # rows 1..W dur bits, rest pad (see emit in _full_kernel for why)
+    out = pl.pallas_call(
         kernel,
-        out_shape=out_shapes,
-        in_specs=[vmem] * len(args),
-        out_specs=(vmem, vmem),
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((T, K - 1, 8, Bp), jnp.int32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, K - 1, 8, bblk),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
         # ~30 MB of resident weights + activations exceed the default 16 MB
         # scoped-VMEM budget; a v5e core has ~128 MB
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    pitch_idx = pitch_rows.reshape(T, K - 1, B).transpose(2, 0, 1)
-    dur_bits = dur_rows.reshape(T, K - 1, W, B).transpose(3, 0, 1, 2)
+    out = out[..., :B]
+    pitch_idx = out[:, :, 0, :].transpose(2, 0, 1)
+    dur_bits = out[:, :, 1:1 + W, :].transpose(3, 0, 1, 2)
     return jnp.concatenate([pitch_idx[..., None], dur_bits], axis=-1)
