@@ -337,18 +337,52 @@ def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
         slot_args + summary_args
 
     kernel = functools.partial(_frame_kernel, spec, layout)
+    # Grid over the batch in 128-row blocks, exactly like
+    # full_decoder.decode_grid_fused: Mosaic compile time for the unrolled
+    # slot chain explodes with the batch width (B=128 compiles in ~2 min on
+    # v5e, B=512 took 35 min as a single ungridded block), so the kernel
+    # body is never wider than 128 rows. Weights have constant index maps —
+    # the Pallas pipeline keeps them VMEM-resident across blocks. Non-128
+    # multiples zero-pad (rows independent; pad rows sliced off below).
+    bblk = min(B, 128)
+    nb = -(-B // bblk)
+    Bp = nb * bblk
+    n_batch_args = 2            # h_time, sos_emb — the only (B, d) inputs
+    if Bp != B:
+        args = tuple(
+            jnp.pad(a, ((0, Bp - B), (0, 0))) if j < n_batch_args else a
+            for j, a in enumerate(args))
+    in_specs = [
+        pl.BlockSpec((bblk, a.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for a in args[:n_batch_args]
+    ] + [
+        pl.BlockSpec(a.shape, functools.partial(
+            lambda nd, i: (0,) * nd, a.ndim), memory_space=pltpu.VMEM)
+        for a in args[n_batch_args:]
+    ]
     out_shapes = (
-        jax.ShapeDtypeStruct((B, K - 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, K - 1, W), jnp.int32),
-        jax.ShapeDtypeStruct((B, 2 * cfg.dec_emb_hidden), h_time.dtype),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, K - 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, K - 1, W), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, 2 * cfg.dec_emb_hidden), h_time.dtype),
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)
+    out_specs = (
+        pl.BlockSpec((bblk, K - 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bblk, K - 1, W), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bblk, 2 * cfg.dec_emb_hidden), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bblk, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    )
     pitch_idx, dur_bits, summary, lengths = pl.pallas_call(
         kernel,
+        grid=(nb,),
         out_shape=out_shapes,
-        in_specs=[vmem] * len(args),
-        out_specs=(vmem, vmem, vmem, vmem),
+        in_specs=in_specs,
+        out_specs=out_specs,
         # resident weights (+ the combined slot matrix and the per-frame
         # raw stash for the batched embedding dot) exceed the default 16M
         # scoped-VMEM budget; a v5e core has ~128M
@@ -356,4 +390,7 @@ def frame_decode_pallas(p: dict, cfg: ModelConfig, h_time: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if Bp != B:
+        pitch_idx, dur_bits, summary, lengths = (
+            pitch_idx[:B], dur_bits[:B], summary[:B], lengths[:B])
     return pitch_idx, dur_bits, summary, lengths[:, 0]
