@@ -99,7 +99,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
                       with_cost: bool = False, remat: bool = False,
                       unroll_dur: int = 1, frame_kernel: bool = False,
-                      seq_kernel: bool = False):
+                      seq_kernel: bool = False, fused: bool = None):
     import dataclasses
 
     import jax
@@ -118,7 +118,9 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
                                remat_frames=remat, unroll_dur=unroll_dur,
                                train_frame_kernel=frame_kernel,
-                               train_seq_kernel=seq_kernel)
+                               train_seq_kernel=seq_kernel,
+                               **({} if fused is None
+                                  else {"fused_loss": fused}))
     tcfg = TrainConfig(batch_size=batch_size)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = make_train_step(mcfg, tcfg, tx)
@@ -363,12 +365,19 @@ def main():
 
     # throughput config: bf16, B=2048, fused train-frame Pallas kernel with
     # hand-written VJP (ops/pallas/train_frame) — the whole teacher-forced
-    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd.
+    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd, and with
+    # fused_loss (the default) the reconstruction CE too: the padded
+    # pitch/dur logits never round-trip HBM.
     big = _guard("train_b2048_frame_kernel", _bench_train_step,
                  n_steps=8, batch_size=2048, compute_dtype="bfloat16",
                  with_cost=True, remat=True, frame_kernel=True)
+    # the logits-out (non-fused-CE) frame kernel — the round-2 headline
+    # config, kept as the fused-loss fallback and measured for the delta
+    big_nofuse = _guard("train_b2048_frame_kernel_nofuse", _bench_train_step,
+                        n_steps=8, batch_size=2048, compute_dtype="bfloat16",
+                        remat=True, frame_kernel=True, fused=False)
     # whole-sequence fused kernel (time level folded in, ops/pallas/
-    # train_seq); the headline below is the measured best of the two.
+    # train_seq); the headline below is the measured best of the three.
     big_seq = _guard("train_b2048_seq_kernel", _bench_train_step,
                      n_steps=8, batch_size=2048, compute_dtype="bfloat16",
                      with_cost=True, seq_kernel=True)
@@ -413,7 +422,10 @@ def main():
     # XLA path, else the canonical B=128 config — the artifact degrades, it
     # never nulls.
     candidates = [
-        (big, "fused train-frame Pallas kernel (hand-written VJP)"),
+        (big, "fused train-frame Pallas kernel (hand-written VJP, "
+              "in-kernel reconstruction CE)"),
+        (big_nofuse, "train-frame Pallas kernel (hand-written VJP, "
+                     "logits-out CE)"),
         (big_seq, "fused whole-sequence Pallas kernel "
                   "(time+note+dur levels, hand-written VJP)"),
     ]
@@ -429,12 +441,11 @@ def main():
     else:
         big_best, note = None, "ALL train benches failed — see failures"
 
-    alt = None
-    if live and len(live) == 2:
-        loser = min(live, key=lambda t: t[0]["segments_per_sec"])
-        alt = {"which": loser[1],
-               "segments_per_sec": round(loser[0]["segments_per_sec"], 2),
-               "step_seconds": round(loser[0]["step_seconds"], 5)}
+    alts = [
+        {"which": n,
+         "segments_per_sec": round(r["segments_per_sec"], 2),
+         "step_seconds": round(r["step_seconds"], 5)}
+        for r, n in live if r is not big_best] or None
 
     mfu = None
     if big_best and big_best.get("flops_per_step"):
@@ -468,7 +479,7 @@ def main():
                                   for k, v in big_best.items()}
             if big_best else None,
             "throughput_config_note": note,
-            "train_b2048_bf16_alt_kernel": alt,
+            "train_b2048_bf16_alt_kernels": alts,
             "train_b2048_bf16_xla_scans": _row(
                 big_xla, "segments_per_sec", "step_seconds"),
             "mfu_bf16_analytic_matmul": round(mfu, 4) if mfu else None,

@@ -125,13 +125,13 @@ class ModelConfig:
     # sequence. Supersedes train_frame_kernel when set.
     train_seq_kernel: bool = False
 
-    # With train_seq_kernel: fuse the reconstruction cross-entropy INTO the
-    # kernel (models/pianotree_decoder.decode_recon). The fwd kernel emits
-    # masked-CE numerator partials and the bwd computes the logit cotangents
-    # in place from the targets, so the (B, T, K-1, P) pitch and
-    # (B, T, K-1, W, 2) dur logits never round-trip HBM (the dur tensor's
-    # 2-wide lane pads to 128 — ~1.3 GB of padded DMA per pass at B=2048).
-    # Loss values match the XLA recon_loss to fp-reassociation.
+    # With train_seq_kernel OR train_frame_kernel: fuse the reconstruction
+    # cross-entropy INTO the kernel (models/pianotree_decoder.decode_recon).
+    # The fwd kernel emits masked-CE numerator partials and the bwd computes
+    # the logit cotangents in place from the targets, so the (B, T, K-1, P)
+    # pitch and (B, T, K-1, W, 2) dur logits never round-trip HBM (the dur
+    # tensor's 2-wide lane pads to 128 — ~1.3 GB of padded DMA per pass at
+    # B=2048). Loss values match the XLA recon_loss to fp-reassociation.
     fused_loss: bool = True
 
     @property

@@ -537,15 +537,14 @@ def decode_recon(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                  coins1: jnp.ndarray, coins2: jnp.ndarray, x: jnp.ndarray,
                  weights=(1.0, 0.5), weighted_dur: bool = False,
                  axis_name=None):
-    """Teacher-forced decode FUSED with the reconstruction CE (train_seq
-    kernel loss mode): the pitch/dur logits stay in VMEM and the kernel
-    emits masked-CE numerator sums; the mean's denominators (mask counts)
-    and the loss weighting stay in XLA. Semantics = decode() + recon_loss()
-    (reference ptvae.py:430-491 + 498-529), same axis_name contract as
-    ops.losses.cross_entropy_ignore. Returns (recon, pitch_loss, dur_loss).
+    """Teacher-forced decode FUSED with the reconstruction CE (fused-loss
+    mode of the train_seq OR train_frame kernel): the pitch/dur logits stay
+    in VMEM and the kernel emits masked-CE numerator sums; the mean's
+    denominators (mask counts) and the loss weighting stay in XLA.
+    Semantics = decode() + recon_loss() (reference ptvae.py:430-491 +
+    498-529), same axis_name contract as ops.losses.cross_entropy_ignore.
+    Returns (recon, pitch_loss, dur_loss).
     """
-    from pctd_tpu.ops.pallas.train_seq import seq_recon_partials, seq_weights
-
     spec = cfg.pianotree
     B = z.shape[0]
     T, K, W = spec.num_step, spec.max_simu_note, spec.dur_width
@@ -563,10 +562,43 @@ def decode_recon(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     gt_pitch = x[:, :, 1:, 0]
     gt_dur = x[:, :, 1:, 1:]
     interp = jax.default_backend() != "tpu"
-    nums = seq_recon_partials(
-        cfg, interp, seq_weights(p, cfg), h0, token0, gi_z, x_emb,
-        x_summary, coins1.astype(jnp.int32).reshape(T, 1),
-        coins2[:, 1:].astype(jnp.int32), gt_pitch, gt_dur)
+    if cfg.train_seq_kernel:
+        from pctd_tpu.ops.pallas.train_seq import (seq_recon_partials,
+                                                   seq_weights)
+
+        nums = seq_recon_partials(
+            cfg, interp, seq_weights(p, cfg), h0, token0, gi_z, x_emb,
+            x_summary, coins1.astype(jnp.int32).reshape(T, 1),
+            coins2[:, 1:].astype(jnp.int32), gt_pitch, gt_dur)
+    else:
+        # per-frame kernel: the time-level GRU stays an XLA scan; each
+        # frame's kernel emits its CE numerator partials, summed in the
+        # scan carry (f32 adds — order matches the seq kernel's grid
+        # accumulation over t per block up to reassociation; the loss
+        # value equals recon_loss to fp-reassociation either way)
+        from pctd_tpu.ops.pallas.train_frame import (core_weights,
+                                                     frame_recon_partials)
+
+        core_w = core_weights(p, cfg)
+        w_tok = p["time_gru"].w_ih[:tok_dim]
+        gt_pitch_t = jnp.swapaxes(gt_pitch, 0, 1).astype(jnp.int32)
+        gt_dur_t = jnp.swapaxes(gt_dur, 0, 1).astype(jnp.int32).reshape(
+            T, B, (K - 1) * W)
+
+        def step(carry, inp):
+            h, token, nums_acc = carry
+            x_sum_t, c1_t, c2_t, x_emb_t, gt_p_t, gt_d_t = inp
+            h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
+            kcoins = c2_t[1:].astype(jnp.int32)[:, None]
+            nums_t, pred_summary = frame_recon_partials(
+                cfg, interp, core_w, h, x_emb_t, kcoins, gt_p_t, gt_d_t)
+            token_next = jnp.where(c1_t, x_sum_t, pred_summary)
+            return (h, token_next, nums_acc + nums_t), None
+
+        xs = (jnp.swapaxes(x_summary, 0, 1), coins1, coins2,
+              jnp.swapaxes(x_emb, 0, 1), gt_pitch_t, gt_dur_t)
+        (_, _, nums), _ = jax.lax.scan(
+            step, (h0, token0, jnp.zeros((1 + W,), jnp.float32)), xs)
 
     den_p = (gt_pitch != spec.pitch_pad).sum()
     den_d = (gt_dur != spec.dur_pad).sum(axis=(0, 1, 2))        # (W,)

@@ -51,11 +51,13 @@ def _compile_train(which: str, batch: int) -> None:
     from pctd_tpu.models import disentangle_vae as dv
     from pctd_tpu.train.trainer import batch_features
 
+    kernel, _, mode = which.partition(":")
     mcfg = dataclasses.replace(
         ModelConfig(), compute_dtype="bfloat16",
         remat_frames=True,
-        train_frame_kernel=(which == "train_frame"),
-        train_seq_kernel=(which == "train_seq"))
+        train_frame_kernel=(kernel == "train_frame"),
+        train_seq_kernel=(kernel == "train_seq"),
+        fused_loss=(mode != "nofuse"))
     tcfg = TrainConfig(batch_size=batch)
     params = jax.eval_shape(
         lambda: dv.init_params(jax.random.PRNGKey(0), mcfg))
@@ -66,14 +68,23 @@ def _compile_train(which: str, batch: int) -> None:
         functools.partial(batch_features, mcfg=mcfg), *abstract)
     key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
 
-    def grad_fn(p, key, x, c, pr_mat, dt_x):
-        def loss_fn(p):
-            return dv.loss(p, mcfg, key, x, c, pr_mat, dt_x,
-                           tfr1=0.5, tfr2=0.5, tfr3=0.5, beta=0.1,
-                           weights=tcfg.weights,
-                           weighted_dur=tcfg.weighted_dur)
+    def loss_fn(p, key, x, c, pr_mat, dt_x):
+        return dv.loss(p, mcfg, key, x, c, pr_mat, dt_x,
+                       tfr1=0.5, tfr2=0.5, tfr3=0.5, beta=0.1,
+                       weights=tcfg.weights,
+                       weighted_dur=tcfg.weighted_dur)
 
-        (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    if mode == "eval":
+        # the no-grad loss program (val epoch): same kernels in PRIMAL
+        # mode — a distinct Mosaic program from the VJP path's stash
+        # forward, so it gets its own gate entry
+        jax.jit(loss_fn).lower(params, key, x, c, pr_mat, dt_x).compile()
+        return
+
+    def grad_fn(p, key, x, c, pr_mat, dt_x):
+        (_, m), g = jax.value_and_grad(
+            lambda q: loss_fn(q, key, x, c, pr_mat, dt_x),
+            has_aux=True)(p)
         return m, g
 
     jax.jit(grad_fn).lower(params, key, x, c, pr_mat, dt_x).compile()
@@ -98,8 +109,16 @@ def run_gate(serve_batches: Iterable[int] = SERVE_BATCHES,
         jobs.append((f"serve_pallas_full_b{b}",
                      functools.partial(_compile_serve, "pallas_full", b)))
     for b in train_batches:
+        # train_frame/train_seq compile with the fused_loss default (the
+        # in-kernel CE); the nofuse variant is the logits-out fallback path
         jobs.append((f"train_frame_b{b}",
                      functools.partial(_compile_train, "train_frame", b)))
+        jobs.append((f"train_frame_nofuse_b{b}",
+                     functools.partial(
+                         _compile_train, "train_frame:nofuse", b)))
+        jobs.append((f"train_frame_eval_b{b}",
+                     functools.partial(
+                         _compile_train, "train_frame:eval", b)))
         jobs.append((f"train_seq_b{b}",
                      functools.partial(_compile_train, "train_seq", b)))
     if which is not None:

@@ -12,8 +12,9 @@ policy). Here:
 
 - the FORWARD kernel runs the whole frame INCLUDING the summary in VMEM and
   emits the pitch/dur logits, the frame summary, and the eos lengths; on the
-  differentiation path it also stashes the serial-chain states (slot hiddens
-  + consumed tokens — the only products of the serial recurrence);
+  differentiation path it also stashes the serial-chain slot hiddens — the
+  only product of the serial recurrence the backward cannot rebuild (the
+  consumed tokens rebuild from them + the gt embeddings);
 - the BACKWARD kernel rebuilds every other intermediate from that stash with
   (K-1)*B-row batched dots (per-row dot products identical to the forward's
   per-slot dots => bit-equal argmax decisions) and hand-differentiates the
@@ -285,32 +286,64 @@ def _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref,
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: PianoTreeSpec, *args):
+def _fwd_kernel(spec: PianoTreeSpec, loss_mode: bool, *args):
     (coins_ref, frame_h_ref, x_emb_ref, *rest) = args
+    if loss_mode:
+        gt_pitch_ref, gt_dur_ref = rest[:2]
+        rest = rest[2:]
     refs = rest[:20]
     we_ih_ref, we_hh_ref, be_ih_ref, be_hh_ref = rest[20:24]
-    pitch_ref, dur_ref, summ_ref, len_ref = rest[24:28]
-    hs_ref, tok_ref = (rest[28], rest[29]) if len(rest) > 28 else (None, None)
+    if loss_mode:
+        nums_ref, summ_ref, len_ref = rest[24:27]
+        pitch_ref = dur_ref = None
+        hs_ref = rest[27] if len(rest) > 27 else None
+    else:
+        pitch_ref, dur_ref, summ_ref, len_ref = rest[24:28]
+        hs_ref = rest[28] if len(rest) > 28 else None
     dtype = frame_h_ref.dtype
+    W = spec.dur_width
 
-    hs, tokens, pred, lengths = _run_forward(
+    fwd = _run_forward(
         spec, refs, lambda k: coins_ref[k - 1, 0], frame_h_ref[:], x_emb_ref,
-        dtype, pitch_ref=pitch_ref, dur_ref=dur_ref)
+        dtype, pitch_ref=pitch_ref, dur_ref=dur_ref, keep_logits=loss_mode)
+    hs, tokens, pred, lengths = fwd[:4]
     hf, hb = _summary_fwd(pred, lengths, we_ih_ref, we_hh_ref, be_ih_ref,
                           be_hh_ref, dtype)
     EH = we_hh_ref.shape[1]
     summ_ref[:, :EH] = hf
     summ_ref[:, EH:] = hb
     len_ref[:] = lengths
+
+    if loss_mode:
+        # masked-CE numerator partials (pitch + one per dur bit), summed in
+        # f32 over the block and accumulated across the batch grid; the
+        # logits stay in VMEM (same scheme as train_seq's fused-loss mode).
+        # Denominators are mask counts the XLA caller computes from the
+        # grid targets.
+        ests, dur_logits = fwd[4], fwd[5]
+        gt_p, gt_d = _gt_cat(spec, gt_pitch_ref, gt_dur_ref)
+        parts = [_ce_nll_sum(jnp.concatenate(ests), gt_p, spec.pitch_pad)]
+        for w in range(W):
+            parts.append(_ce_nll_sum(
+                jnp.concatenate([dl[w] for dl in dur_logits]), gt_d[w],
+                spec.dur_pad))
+        row = jnp.concatenate(
+            parts + [jnp.zeros((1, NUMS_W - 1 - W), jnp.float32)], axis=-1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_nums():
+            nums_ref[...] = jnp.zeros(nums_ref.shape, nums_ref.dtype)
+
+        nums_ref[...] += row
     if hs_ref is not None:
-        # stash the serial-chain states for the backward (differentiation
-        # path only): the slot hiddens and consumed tokens are the ONLY
-        # phase-1 products the backward cannot rebuild with batched dots,
-        # so shipping them (bf16, ~42 MB/frame at B=2048) lets the backward
-        # kernel skip the whole serial forward recompute.
+        # stash the serial-chain slot hiddens for the backward
+        # (differentiation path only): they are the ONLY phase-1 product the
+        # backward cannot rebuild with batched dots, so shipping them (bf16,
+        # ~34 MB/frame at B=2048) lets the backward kernel skip the whole
+        # serial forward recompute. The consumed tokens it rebuilds from
+        # these + the gt embeddings it streams in anyway (_frame_bwd_core).
         for k in range(spec.max_simu_note):
             hs_ref[k] = hs[k]
-            tok_ref[k] = tokens[k]
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +388,41 @@ def _ce_grad(logits, gt, pad_index, g):
     return (g * mask) * (sm - oh)
 
 
+#: fused-loss partials row width: [pitch_num | dur_num x W | zero pad]
+NUMS_W = 8
+
+
+def _lane_col(x_f32, j: int):
+    """Extract lane column ``j`` of a (bt, C) f32 block as a (bt, 1) value
+    at lane offset 0, via a one-hot selector dot. A plain ``x[:, j:j+1]``
+    slice keeps lane offset j in its Mosaic layout, and tpu.concatenate of
+    blocks with mismatched non-concat-dim offsets has no lowering ("result/
+    input offset mismatch"); the MXU dot is the offset-normalizing move.
+    Bit-exact: a one-hot f32 contraction of integer-valued f32 data."""
+    C = x_f32.shape[1]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == j).astype(
+        jnp.float32)
+    return jnp.dot(x_f32, sel, preferred_element_type=jnp.float32)
+
+
+def _gt_cat(spec, gt_pitch_ref, gt_dur_ref):
+    """Slot-concatenated targets, sublane-aligned with the (K-1)*B-row
+    batched intermediates. The targets ship batch-major — (bt, K-1) and
+    (bt, (K-1)*W) windows, batch in SUBLANES. Each slot/bit column is
+    extracted with a selector dot (see _lane_col) so every piece lands at
+    lane offset 0 before the sublane concatenate; values are exact (ints
+    =< pitch_pad round-trip f32)."""
+    K, W = spec.max_simu_note, spec.dur_width
+    gt_pf = gt_pitch_ref[:].astype(jnp.float32)
+    gt_df = gt_dur_ref[:].astype(jnp.float32)
+    gt_p = jnp.concatenate(
+        [_lane_col(gt_pf, k - 1) for k in range(1, K)]).astype(jnp.int32)
+    gt_d = [jnp.concatenate(
+        [_lane_col(gt_df, (k - 1) * W + w) for k in range(1, K)]).astype(
+            jnp.int32) for w in range(W)]
+    return gt_p, gt_d
+
+
 def _ce_grad_pitch(spec, col, est_all, loss_md):
     del col  # the helper builds its own iota at the logits' shape
     return _ce_grad(est_all, loss_md["gt_pitch"], spec.pitch_pad,
@@ -368,13 +436,19 @@ def _ce_grad_dur(spec, logit, w, loss_md):
 
 def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
                     hs, tokens, x_emb0, d_pitch, d_dur, d_summ, add,
-                    loss_md=None, flush=lambda *names: None):
+                    loss_md=None, flush=lambda *names: None,
+                    x_emb_rows=None):
     """Hand-differentiated frame backward, ref-free so the per-frame kernel
     (_bwd_kernel) and the fused-sequence kernel (train_seq) share it.
 
     wts: dict name -> weight ARRAY (see _WNAMES); coin_fn(k): slot k's
-    scalar teacher coin; frame_h (B, TH); hs/tokens: the stashed serial
-    chain (K entries each); x_emb0 (B, E) = the gt sos token; d_pitch
+    scalar teacher coin; frame_h (B, TH); hs: the stashed serial chain
+    (K entries); tokens: the consumed tokens (K entries) — OR None with
+    ``x_emb_rows`` (list of K (B, E) ground-truth embeddings) supplied, in
+    which case the tokens are REBUILT here from the phase-1 ``emb_all``
+    (bit-equal recompute) as ``where(coin_k, x_emb[k], emb_k)``: the token
+    stash is redundant given the gt embeddings are streamed in anyway;
+    x_emb0 (B, E) = the gt sos token; d_pitch
     (K-1, B, P), d_dur (K-1, W, B, 2), d_summ (B, 2*EH) cotangents.
     add(name, val): f32 weight-grad accumulator. flush(*names): called when
     the named accumulators receive their LAST add — a kernel can then fold
@@ -470,6 +544,15 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     # semantics: first eos slot, else K-1)
     emb_all = (dot(emb_in_all, w_emb) + b_emb).astype(dtype)
     pred = [x_emb0] + [emb_all[(k - 1) * B:k * B] for k in range(1, K)]
+    if tokens is None:
+        # rebuild the consumed tokens from the (bit-equal) rebuilt
+        # embeddings + the streamed gt embeddings: token_k = the forward's
+        # teacher select. Only slots 0..K-2 are ever consumed (slot k+1
+        # reads token k; there is no slot K).
+        tokens = [x_emb0] + [
+            jnp.where(coin_fn(k) != 0, x_emb_rows[k],
+                      emb_all[(k - 1) * B:k * B])
+            for k in range(1, K - 1)]
     lengths = jnp.zeros((B, 1), jnp.int32)
     for k in range(1, K):
         pk = pitch_ind_all[(k - 1) * B:k * B][:, None]
@@ -650,13 +733,22 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     return d_frame_h, d_x_rows
 
 
-def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
-    (coins_ref, frame_h_ref, x_emb_ref, hs_in_ref, tok_in_ref, *rest) = args
+def _bwd_kernel(spec: PianoTreeSpec, nh: int, loss_mode: bool, *args):
+    (coins_ref, frame_h_ref, x_emb_ref, hs_in_ref, *rest) = args
+    if loss_mode:
+        gt_pitch_ref, gt_dur_ref, d_nums_ref = rest[:3]
+        rest = rest[3:]
     refs = rest[:24]
-    d_pitch_ref, d_dur_ref, d_summ_ref = rest[24:27]
-    d_frame_h_ref, d_x_emb_ref = rest[27:29]
-    grad_refs = rest[29:]                   # one per _WNAMES entry, in order
-    K = spec.max_simu_note
+    if loss_mode:
+        d_pitch_ref = d_dur_ref = None
+        d_summ_ref = rest[24]
+        rest = rest[25:]
+    else:
+        d_pitch_ref, d_dur_ref, d_summ_ref = rest[24:27]
+        rest = rest[27:]
+    d_frame_h_ref, d_x_emb_ref = rest[:2]
+    grad_refs = rest[2:]                    # one per _WNAMES entry, in order
+    K, W = spec.max_simu_note, spec.dur_width
 
     # zero the accumulated weight-grad outputs on the first grid block
     @pl.when(pl.program_id(0) == 0)
@@ -678,12 +770,20 @@ def _bwd_kernel(spec: PianoTreeSpec, nh: int, *args):
             ref = ref_by_name[name]
             ref[...] += acc.pop(name).astype(ref.dtype)
 
+    loss_md = None
+    if loss_mode:
+        gt_p, gt_d = _gt_cat(spec, gt_pitch_ref, gt_dur_ref)
+        loss_md = dict(gt_pitch=gt_p, gt_dur=gt_d,
+                       g_pitch=d_nums_ref[0, 0],
+                       g_dur=[d_nums_ref[0, 1 + w] for w in range(W)])
     wts = dict(zip(_WNAMES, (r[:] for r in refs)))
     d_frame_h, d_x_rows = _frame_bwd_core(
         spec, nh, wts, lambda k: coins_ref[k - 1, 0], frame_h_ref[:],
-        [hs_in_ref[k] for k in range(K)],
-        [tok_in_ref[k] for k in range(K)], x_emb_ref[0],
-        d_pitch_ref[:], d_dur_ref[:], d_summ_ref[:], add, flush=flush)
+        [hs_in_ref[k] for k in range(K)], None, x_emb_ref[0],
+        None if loss_mode else d_pitch_ref[:],
+        None if loss_mode else d_dur_ref[:], d_summ_ref[:], add,
+        loss_md=loss_md, flush=flush,
+        x_emb_rows=[x_emb_ref[k] for k in range(K)])
     d_frame_h_ref[:] = d_frame_h.astype(d_frame_h_ref.dtype)
     d_x_emb_ref[...] = jnp.stack(d_x_rows)
     assert not acc, f"unflushed weight grads: {sorted(acc)}"
@@ -726,8 +826,8 @@ _BLOCK_OVERRIDE = None      # tests force a small block to exercise the grid
 def _pick_block_bwd(B: int) -> int:
     # The slot-batched backward (phases 2a/2b/2d) keeps (K-1)*bt-row
     # intermediates live at once. 256-row blocks fit VMEM before the
-    # chain-state stash landed; with the stash input windows (hs + ntok,
-    # double-buffered) and the shared fused-loss core the compile measures
+    # chain-state stash landed; with the stash input windows
+    # (double-buffered) and the shared fused-loss core the compile measures
     # 157M of the 128M space at 256 rows (v5e), so the backward now takes
     # 128-row blocks. Batches not divisible by the block are zero-padded to
     # the next multiple by the callers; padded rows contribute exactly zero
@@ -742,22 +842,29 @@ _FWD_BLOCK = 1024
 _FWD_BLOCK_STASH = 512
 
 
-def _pick_block_fwd(B: int, stash: bool = False) -> int:
+def _pick_block_fwd(B: int, stash: bool = False,
+                    loss_mode: bool = False) -> int:
     # The primal forward keeps only the slot hiddens/tokens live (no
     # gradient stash, no f32 weight-grad accumulators), so it affords much
     # larger row blocks than the backward — fewer, fatter VPU/MXU ops for
     # the same math (the per-op issue overhead is what made the fwd kernel
     # measure ~12 ms slower than XLA's B=2048 scans at 256-row blocks).
     # The STASH forward (the VJP path) additionally streams the per-slot
-    # chain states (hs (K, bt, NH) + ntok (K, bt, E)) out, double-buffered:
-    # at 1024-row blocks that is +48 MB of output windows on top of the
-    # padded dur-logit window and the compile fails at 166 MB of the 128 MB
-    # VMEM space (measured on v5e); 512-row blocks fit.
+    # chain hiddens (hs (K, bt, NH)) out, double-buffered: at 1024-row
+    # blocks the output windows overflow the 128 MB VMEM space (measured
+    # 166 MB on v5e back when the token stash also shipped); 512-row
+    # blocks fit. The fused-loss mode drops the padded logit output windows
+    # but computes the masked CE on the (K-1)*bt-row logits in VMEM: 512
+    # rows fit for loss-only (the eval/primal program) and stash-only (the
+    # nofuse VJP), but their SUM overflows — the stash+loss VJP forward
+    # fails VMEM allocation at 512 on v5e (the probe's dump shows the fwd
+    # pallas_call's scoped space exhausted) — so that mode takes 256.
     if _BLOCK_OVERRIDE is not None:
         return _BLOCK_OVERRIDE
     if B <= 256:
         return B
-    for bt in ((_FWD_BLOCK_STASH, 256) if stash
+    for bt in ((256,) if (stash and loss_mode)
+               else (_FWD_BLOCK_STASH, 256) if (stash or loss_mode)
                else (_FWD_BLOCK, 512, 256)):
         if B % bt == 0:
             return bt
@@ -821,11 +928,15 @@ def _VMEM_LIMIT() -> int:
 
 
 def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
-              stash=False):
+              stash=False, gt=None):
+    """``gt`` = (gt_pitch (B, K-1) i32, gt_dur (B, (K-1)*W) i32) selects
+    fused-loss mode: the pitch/dur logits never leave VMEM and the first
+    public output is the (1, NUMS_W) masked-CE numerator partials row
+    instead of the logits."""
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     E = x_emb_t.shape[-1]
-    bt = _pick_block_fwd(B, stash=stash)
+    bt = _pick_block_fwd(B, stash=stash, loss_mode=gt is not None)
     Bp = -(-B // bt) * bt               # pad batch to a block multiple
     grid = (Bp // bt,)
     dtype = frame_h.dtype
@@ -833,39 +944,60 @@ def _fwd_call(spec, eh, nh, weights, frame_h, x_emb_t, coins, interpret,
 
     frame_h = _pad_rows(frame_h, 0, Bp)
     x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)   # (K, Bp, E)
-    in_specs = [coin_spec, batch_spec(frame_h.shape[1]),
-                batch_spec(K, E, pos=1)] + [wspec(w) for w in weights]
-    out_shape = [
-        jax.ShapeDtypeStruct((K - 1, Bp, P), dtype),
-        jax.ShapeDtypeStruct((K - 1, W, Bp, 2), dtype),
-        jax.ShapeDtypeStruct((Bp, 2 * eh), dtype),
-        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-    ]
-    out_specs = [batch_spec(K - 1, P, pos=1),
-                 batch_spec(K - 1, W, 2, pos=2),
-                 batch_spec(2 * eh), batch_spec(1)]
+    gt_args = ()
+    gt_specs = []
+    if gt is not None:
+        gt_pitch, gt_dur = gt
+        gt_args = (_pad_rows_const(gt_pitch, 0, Bp, spec.pitch_pad),
+                   _pad_rows_const(gt_dur, 0, Bp, spec.dur_pad))
+        gt_specs = [batch_spec(K - 1), batch_spec((K - 1) * W)]
+    in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
+                 batch_spec(K, E, pos=1)] + gt_specs
+                + [wspec(w) for w in weights])
+    if gt is not None:
+        out_shape = [jax.ShapeDtypeStruct((1, NUMS_W), jnp.float32)]
+        out_specs = [pl.BlockSpec((1, NUMS_W), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((K - 1, Bp, P), dtype),
+            jax.ShapeDtypeStruct((K - 1, W, Bp, 2), dtype),
+        ]
+        out_specs = [batch_spec(K - 1, P, pos=1),
+                     batch_spec(K - 1, W, 2, pos=2)]
+    out_shape += [jax.ShapeDtypeStruct((Bp, 2 * eh), dtype),
+                  jax.ShapeDtypeStruct((Bp, 1), jnp.int32)]
+    out_specs += [batch_spec(2 * eh), batch_spec(1)]
     if stash:
-        out_shape += [jax.ShapeDtypeStruct((K, Bp, nh), dtype),
-                      jax.ShapeDtypeStruct((K, Bp, E), dtype)]
-        out_specs += [batch_spec(K, nh, pos=1), batch_spec(K, E, pos=1)]
-    kernel = functools.partial(_fwd_kernel, spec)
+        out_shape += [jax.ShapeDtypeStruct((K, Bp, nh), dtype)]
+        out_specs += [batch_spec(K, nh, pos=1)]
+    kernel = functools.partial(_fwd_kernel, spec, gt is not None)
     outs = pl.pallas_call(
         kernel, grid=grid, out_shape=tuple(out_shape), in_specs=in_specs,
         out_specs=tuple(out_specs), interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT()),
-    )(coins, frame_h, x_emb_kbe, *weights)
-    pitch, dur, summ, lengths = outs[:4]
-    public = (jnp.swapaxes(pitch[:, :B], 0, 1),
-              jnp.transpose(dur[:, :, :B], (2, 0, 1, 3)),
-              summ[:B], lengths[:B, 0])
+    )(coins, frame_h, x_emb_kbe, *gt_args, *weights)
+    if gt is not None:
+        nums, summ, lengths = outs[:3]
+        public = (nums, summ[:B], lengths[:B, 0])
+        rest = outs[3:]
+    else:
+        pitch, dur, summ, lengths = outs[:4]
+        public = (jnp.swapaxes(pitch[:, :B], 0, 1),
+                  jnp.transpose(dur[:, :, :B], (2, 0, 1, 3)),
+                  summ[:B], lengths[:B, 0])
+        rest = outs[4:]
     if not stash:
         return public
-    return public, (outs[4][:, :B], outs[5][:, :B])    # (K, B, NH), (K, B, E)
+    return public, rest[0][:, :B]                      # (K, B, NH)
 
 
 def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
-              hs_st, tok_st, d_pitch, d_dur, d_summ, interpret):
+              hs_st, d_pitch, d_dur, d_summ, interpret, gt=None):
+    """``gt`` = (gt_pitch (B, K-1) i32, gt_dur (B, (K-1)*W) i32, d_nums
+    (1, NUMS_W) f32) selects fused-loss mode: d_pitch/d_dur are None and the
+    logit cotangents are computed in-kernel from the targets."""
     B = frame_h.shape[0]
     K, W, P = spec.max_simu_note, spec.dur_width, spec.pitch_range
     bt = _pick_block_bwd(B)
@@ -878,18 +1010,29 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     d_summ = _pad_rows(d_summ, 0, Bp)
     x_emb_kbe = _pad_rows(jnp.swapaxes(x_emb_t, 0, 1), 1, Bp)    # (K, Bp, E)
     hs_st = _pad_rows(hs_st, 1, Bp)                              # (K, Bp, NH)
-    tok_st = _pad_rows(tok_st, 1, Bp)                            # (K, Bp, E)
-    d_pitch_k = _pad_rows(jnp.swapaxes(d_pitch, 0, 1), 1, Bp)    # (K-1,Bp,P)
-    d_dur_k = _pad_rows(jnp.transpose(d_dur, (1, 2, 0, 3)), 2, Bp)
+    if gt is not None:
+        gt_pitch, gt_dur, d_nums = gt
+        ct_args = (_pad_rows_const(gt_pitch, 0, Bp, spec.pitch_pad),
+                   _pad_rows_const(gt_dur, 0, Bp, spec.dur_pad), d_nums)
+        ct_specs = [batch_spec(K - 1), batch_spec((K - 1) * W),
+                    pl.BlockSpec(d_nums.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+    else:
+        d_pitch_k = _pad_rows(jnp.swapaxes(d_pitch, 0, 1), 1, Bp)
+        d_dur_k = _pad_rows(jnp.transpose(d_dur, (1, 2, 0, 3)), 2, Bp)
+        ct_args = (d_pitch_k, d_dur_k)
+        ct_specs = [batch_spec(K - 1, P, pos=1),
+                    batch_spec(K - 1, W, 2, pos=2)]
 
+    # loss mode: target/d_nums inputs ride BEFORE the weights in kernel arg
+    # order; logit cotangents come after (matching _bwd_kernel's unpacking)
     in_specs = ([coin_spec, batch_spec(frame_h.shape[1]),
                  batch_spec(K, E, pos=1),
-                 batch_spec(K, hs_st.shape[-1], pos=1),
-                 batch_spec(K, E, pos=1)]
+                 batch_spec(K, hs_st.shape[-1], pos=1)]
+                + (ct_specs if gt is not None else [])
                 + [wspec(w) for w in weights]
-                + [batch_spec(K - 1, P, pos=1),
-                   batch_spec(K - 1, W, 2, pos=2),
-                   batch_spec(2 * eh)])
+                + ([] if gt is not None else ct_specs)
+                + [batch_spec(2 * eh)])
     # outputs: per-block d_frame_h, d_x_emb + accumulated f32 weight grads
     out_shape = [jax.ShapeDtypeStruct((Bp, frame_h.shape[1]), frame_h.dtype),
                  jax.ShapeDtypeStruct((K, Bp, E), frame_h.dtype)]
@@ -897,7 +1040,10 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
     for w in weights:
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_specs.append(wspec(w))
-    kernel = functools.partial(_bwd_kernel, spec, nh)
+    kernel = functools.partial(_bwd_kernel, spec, nh, gt is not None)
+    args = ((coins, frame_h, x_emb_kbe, hs_st)
+            + (ct_args if gt is not None else ()) + tuple(weights)
+            + (() if gt is not None else ct_args) + (d_summ,))
     outs = pl.pallas_call(
         kernel, grid=grid, out_shape=tuple(out_shape),
         in_specs=in_specs, out_specs=tuple(out_specs), interpret=interpret,
@@ -905,8 +1051,7 @@ def _bwd_call(spec, nh, eh, weights, frame_h, x_emb_t, coins,
         # 256-row blocks — grant it the full space (measured 123M peak)
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(coins, frame_h, x_emb_kbe, hs_st, tok_st, *weights,
-      d_pitch_k, d_dur_k, d_summ)
+    )(*args)
     d_frame_h, d_x_emb = outs[0][:B], jnp.swapaxes(outs[1][:, :B], 0, 1)
     d_weights = tuple(g.astype(w.dtype)
                       for g, w in zip(outs[2:], weights))
@@ -930,27 +1075,86 @@ def frame_core(cfg: ModelConfig, interpret: bool,
 
 
 def _frame_core_fwd(cfg, interpret, weights, frame_h, x_emb_t, coins):
-    # stash=True ships the serial-chain states (slot hiddens + consumed
-    # tokens) to the backward so it runs no serial forward recompute. The
-    # kernel path runs WITHOUT jax.checkpoint (wrapping it replays the fwd
-    # kernel redundantly, measured 6275 vs 7449 seg/s), so the stash of all
-    # T frames is live across the fwd/bwd gap: ~1.3 GB at B=2048 bf16
+    # stash=True ships the serial-chain slot hiddens to the backward so it
+    # runs no serial forward recompute (it rebuilds the consumed tokens
+    # from these + the gt embeddings it streams in anyway). The kernel path
+    # runs WITHOUT jax.checkpoint (wrapping it replays the fwd kernel
+    # redundantly, measured 6275 vs 7449 seg/s), so the stash of all
+    # T frames is live across the fwd/bwd gap: ~1.07 GB at B=2048 bf16
     # canonical dims — a few ms of HBM traffic against a 16 GB chip.
-    out, (hs_st, tok_st) = _fwd_call(
+    out, hs_st = _fwd_call(
         cfg.pianotree, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights,
         frame_h, x_emb_t, coins, interpret, stash=True)
-    return out, (weights, frame_h, x_emb_t, coins, hs_st, tok_st)
+    return out, (weights, frame_h, x_emb_t, coins, hs_st)
 
 
 def _frame_core_bwd(cfg, interpret, res, cts):
-    weights, frame_h, x_emb_t, coins, hs_st, tok_st = res
+    weights, frame_h, x_emb_t, coins, hs_st = res
     d_pitch, d_dur, d_summ, _ = cts
     d_frame_h, d_x_emb, d_weights = _bwd_call(
         cfg.pianotree, cfg.dec_notes_hidden, cfg.dec_emb_hidden, weights,
-        frame_h, x_emb_t, coins, hs_st, tok_st, d_pitch, d_dur, d_summ,
+        frame_h, x_emb_t, coins, hs_st, d_pitch, d_dur, d_summ,
         interpret)
     d_coins = np.zeros(coins.shape, jax.dtypes.float0)
     return d_weights, d_frame_h, d_x_emb, d_coins
 
 
 frame_core.defvjp(_frame_core_fwd, _frame_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused-loss wrapper: CE numerators instead of logits (per-frame variant of
+# train_seq.seq_recon_partials — the time-level GRU stays an XLA scan)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def frame_recon_partials(cfg: ModelConfig, interpret: bool, weights,
+                         frame_h, x_emb_t, coins, gt_pitch, gt_dur):
+    """One frame's teacher-forced decode FUSED WITH the reconstruction-CE
+    numerators: the pitch/dur logits never leave VMEM (the backward rebuilds
+    them bit-equal from the slot-hidden stash and computes the masked-CE
+    gradient in place), killing the padded logit round-trips — the dur
+    tensor's 2-wide lane pads to 128 in HBM, ~1.3 GB/pass at B=2048
+    canonical dims across the 32 frames.
+
+    weights: tuple from :func:`core_weights`; frame_h (B, TH); x_emb_t
+    (B, K, E) gt note embeddings; coins (K-1, 1) i32; gt_pitch (B, K-1) i32
+    = x[:, t, 1:, 0]; gt_dur (B, (K-1)*W) i32 = x[:, t, 1:, 1:] flattened
+    (reference recon-loss targets, ptvae.py:498-529).
+    Returns ((1 + W,) f32 masked-CE numerator partials [pitch, dur bit 0..W),
+    pred_summary (B, 2*emb_hidden)); the caller divides by the mask counts
+    (and applies loss weights / psums) in XLA.
+    """
+    spec = cfg.pianotree
+    nums, summ, _ = _fwd_call(
+        spec, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights, frame_h,
+        x_emb_t, coins, interpret, gt=(gt_pitch, gt_dur))
+    return nums[0, :1 + spec.dur_width], summ
+
+
+def _frame_recon_fwd(cfg, interpret, weights, frame_h, x_emb_t, coins,
+                     gt_pitch, gt_dur):
+    spec = cfg.pianotree
+    (nums, summ, _), hs_st = _fwd_call(
+        spec, cfg.dec_emb_hidden, cfg.dec_notes_hidden, weights, frame_h,
+        x_emb_t, coins, interpret, stash=True, gt=(gt_pitch, gt_dur))
+    return (nums[0, :1 + spec.dur_width], summ), (
+        weights, frame_h, x_emb_t, coins, gt_pitch, gt_dur, hs_st)
+
+
+def _frame_recon_bwd(cfg, interpret, res, cts):
+    weights, frame_h, x_emb_t, coins, gt_pitch, gt_dur, hs_st = res
+    d_nums, d_summ = cts
+    spec = cfg.pianotree
+    row = jnp.zeros((1, NUMS_W), jnp.float32)
+    row = row.at[0, :1 + spec.dur_width].set(d_nums.astype(jnp.float32))
+    d_frame_h, d_x_emb, d_weights = _bwd_call(
+        cfg.pianotree, cfg.dec_notes_hidden, cfg.dec_emb_hidden, weights,
+        frame_h, x_emb_t, coins, hs_st, None, None, d_summ, interpret,
+        gt=(gt_pitch, gt_dur, row))
+    zero = lambda c: np.zeros(c.shape, jax.dtypes.float0)
+    return (d_weights, d_frame_h, d_x_emb, zero(coins), zero(gt_pitch),
+            zero(gt_dur))
+
+
+frame_recon_partials.defvjp(_frame_recon_fwd, _frame_recon_bwd)

@@ -44,16 +44,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pctd_tpu.config import ModelConfig
-from pctd_tpu.ops.pallas.train_frame import (_WNAMES, _ce_nll_sum,
+from pctd_tpu.ops.pallas.train_frame import (NUMS_W, _WNAMES, _ce_nll_sum,
                                              _frame_bwd_core, _gru_bwd,
-                                             _gru_gates, _pad_rows,
+                                             _gru_gates, _gt_cat, _pad_rows,
                                              _pad_rows_const, _run_forward,
                                              _summary_fwd, core_weights)
 
 _SEQ_WNAMES = _WNAMES + ("wt_tok", "wt_hh", "bt_hh")
-
-# fused-loss partials row width: [pitch_num | dur_num x W | zero pad]
-NUMS_W = 8
 
 
 def seq_weights(p: dict, cfg: ModelConfig):
@@ -71,37 +68,6 @@ def seq_weights(p: dict, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
-
-def _lane_col(x_f32, j: int):
-    """Extract lane column ``j`` of a (bt, C) f32 block as a (bt, 1) value
-    at lane offset 0, via a one-hot selector dot. A plain ``x[:, j:j+1]``
-    slice keeps lane offset j in its Mosaic layout, and tpu.concatenate of
-    blocks with mismatched non-concat-dim offsets has no lowering ("result/
-    input offset mismatch"); the MXU dot is the offset-normalizing move.
-    Bit-exact: a one-hot f32 contraction of integer-valued f32 data."""
-    C = x_f32.shape[1]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == j).astype(
-        jnp.float32)
-    return jnp.dot(x_f32, sel, preferred_element_type=jnp.float32)
-
-
-def _gt_cat(spec, gt_pitch_ref, gt_dur_ref):
-    """Slot-concatenated targets, sublane-aligned with the (K-1)*B-row
-    batched intermediates. The targets ship batch-major — (bt, K-1) and
-    (bt, (K-1)*W) windows, batch in SUBLANES. Each slot/bit column is
-    extracted with a selector dot (see _lane_col) so every piece lands at
-    lane offset 0 before the sublane concatenate; values are exact (ints
-    =< pitch_pad round-trip f32)."""
-    K, W = spec.max_simu_note, spec.dur_width
-    gt_pf = gt_pitch_ref[:].astype(jnp.float32)
-    gt_df = gt_dur_ref[:].astype(jnp.float32)
-    gt_p = jnp.concatenate(
-        [_lane_col(gt_pf, k - 1) for k in range(1, K)]).astype(jnp.int32)
-    gt_d = [jnp.concatenate(
-        [_lane_col(gt_df, (k - 1) * W + w) for k in range(1, K)]).astype(
-            jnp.int32) for w in range(W)]
-    return gt_p, gt_d
-
 
 def _seq_fwd_kernel(spec, T: int, loss_mode: bool, *args):
     (coins1_ref, coins2_ref, h0_ref, token0_ref, gi_z_ref, x_emb_ref,

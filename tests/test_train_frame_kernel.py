@@ -147,6 +147,67 @@ def test_full_decode_loss_and_grad_parity():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
 
+def test_fused_loss_metrics_parity_frame():
+    """train_frame_kernel + fused_loss (the default): the whole-VAE loss
+    and ALL 11 metrics must match the XLA path — the per-frame kernel emits
+    CE numerator partials summed in the scan carry; denominators and
+    weighting stay in XLA."""
+    import dataclasses
+
+    from pctd_tpu.models import disentangle_vae as dv
+    from tests.test_models_parity import random_batch
+
+    fused = dataclasses.replace(SMALL, train_frame_kernel=True)
+    assert fused.fused_loss
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    x, c, pr_mat = random_batch(3, seed=23)
+    key = jax.random.PRNGKey(5)
+    _, mx = dv.loss(params, SMALL, key, jnp.asarray(x), jnp.asarray(c),
+                    jnp.asarray(pr_mat), None, tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    _, mk = dv.loss(params, fused, key, jnp.asarray(x), jnp.asarray(c),
+                    jnp.asarray(pr_mat), None, tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    for k in mx:
+        np.testing.assert_allclose(float(mk[k]), float(mx[k]), rtol=2e-5,
+                                   err_msg=k)
+
+
+@pytest.mark.slow  # interpret-mode VJP over several grid blocks, ~2min
+def test_fused_loss_grad_parity_multiblock_frame():
+    """frame_recon_partials: the CE-numerator grid accumulation and the
+    in-kernel logit cotangents must agree with the XLA decode+recon_loss
+    across MULTIPLE batch blocks (catches a broken nums accumulator init or
+    a padded row leaking into the masked CE)."""
+    import dataclasses
+
+    from pctd_tpu.models import disentangle_vae as dv
+    from pctd_tpu.ops.pallas import train_frame as tf
+    from tests.test_models_parity import random_batch
+
+    fused = dataclasses.replace(SMALL, train_frame_kernel=True)
+    params = dv.init_params(jax.random.PRNGKey(2), SMALL)
+    x, c, pr_mat = random_batch(6, seed=29)     # forced block 4 -> Bp=8
+    key = jax.random.PRNGKey(9)
+
+    def loss(cfg, p):
+        total, _ = dv.loss(p, cfg, key, jnp.asarray(x), jnp.asarray(c),
+                           jnp.asarray(pr_mat), None,
+                           tfr1=0.5, tfr2=0.5, tfr3=0.5)
+        return total
+
+    lx, gx = jax.value_and_grad(lambda p: loss(SMALL, p))(params)
+    tf._BLOCK_OVERRIDE = 4
+    try:
+        lk, gk = jax.value_and_grad(lambda p: loss(fused, p))(params)
+    finally:
+        tf._BLOCK_OVERRIDE = None
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    for i, (a, b) in enumerate(zip(jax.tree_util.tree_leaves(gx),
+                                   jax.tree_util.tree_leaves(gk))):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"fused-frame multiblock grad leaf {i}")
+
+
 @pytest.mark.slow
 def test_grad_parity_multiblock():
     """Grid accumulation: weight grads must sum correctly across several
@@ -232,6 +293,8 @@ def test_block_pickers():
 
     assert tf._pick_block_fwd(2048) == 1024
     assert tf._pick_block_fwd(2048, stash=True) == 512
+    assert tf._pick_block_fwd(2048, loss_mode=True) == 512
+    assert tf._pick_block_fwd(2048, stash=True, loss_mode=True) == 256
     assert tf._pick_block_fwd(1536) == 512
     assert tf._pick_block_fwd(1536, stash=True) == 512
     assert tf._pick_block_fwd(256) == 256
