@@ -110,7 +110,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
 
     from pctd_tpu.config import ModelConfig, TrainConfig
     from pctd_tpu.train.trainer import init_state, make_train_step
-    from __graft_entry__ import _example_batch
+    from pctd_tpu.data.synthetic import example_batch as _example_batch
 
     # note: with frame_kernel, remat_frames is functionally moot (the
     # kernel's backward recomputes on-chip) but keeps the analytic FLOPs
@@ -244,7 +244,7 @@ def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
 
     from pctd_tpu.config import PianoTreeSpec
     from pctd_tpu.data.tensorize import tensorize_batch
-    from __graft_entry__ import _example_batch
+    from pctd_tpu.data.synthetic import example_batch as _example_batch
 
     pr, chord, shift = _example_batch(batch_size, seed=1)
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)

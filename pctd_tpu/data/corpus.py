@@ -105,11 +105,14 @@ def song_to_segments(music: PolyphonicMusic, song_id: int, num_bar: int = 2,
         bar_pos=valid.astype(np.int32))
 
 
-def valid_song_runs(corpus: SegmentCorpus, min_bars: int = 16
-                    ) -> List[Tuple[int, int]]:
+def valid_song_runs(corpus: SegmentCorpus, min_bars: int = 16,
+                    num_bar: int = 2) -> List[Tuple[int, int]]:
     """(start_index, length) of runs of consecutive valid bars per song,
     keeping runs with length + num_bar + 1 >= min_bars (capability of
-    reference collect_song.get_valid_song_inds, collect_song.py:7-31)."""
+    reference collect_song.get_valid_song_inds, collect_song.py:7-31: a run
+    of L valid window starts spans L + num_bar - 1 bars of data, and the
+    reference admits runs within one bar of min_bars). ``num_bar`` must
+    match the window size the corpus was built with (song_to_segments)."""
     runs = []
     n = len(corpus)
     i = 0
@@ -119,7 +122,7 @@ def valid_song_runs(corpus: SegmentCorpus, min_bars: int = 16
                and corpus.bar_pos[j + 1] == corpus.bar_pos[j] + 1):
             j += 1
         length = j - i + 1
-        if length + 3 >= min_bars:
+        if length + num_bar + 1 >= min_bars:
             runs.append((i, length))
         i = j + 1
     return runs

@@ -18,9 +18,11 @@ class SongDataset:
     """Songs = runs of >= min_bars consecutive valid segments
     (reference collect_song.SongDataset, collect_song.py:60-83)."""
 
-    def __init__(self, corpus: SegmentCorpus, min_bars: int = 16):
+    def __init__(self, corpus: SegmentCorpus, min_bars: int = 16,
+                 num_bar: int = 2):
         self.corpus = corpus
-        runs = valid_song_runs(corpus, min_bars=min_bars)
+        self.num_bar = num_bar
+        runs = valid_song_runs(corpus, min_bars=min_bars, num_bar=num_bar)
         self.song_ind = [r[0] for r in runs]
         self.song_len = [r[1] for r in runs]
 
@@ -29,16 +31,18 @@ class SongDataset:
 
     def get_song_batch(self, song_id: int, length: Optional[int] = None,
                        shift: int = 0) -> Dict[str, np.ndarray]:
-        """Stack every other segment of a song (stride-2 tiling of 2-bar
-        windows, reference collect_song.get_whole_song_data,
-        collect_song.py:34-57). Returns raw arrays ready for the on-device
-        tensorizer: pr (S,32,128), mel (S,32,130), chord (S,8,14)."""
+        """Stack every num_bar-th segment of a song (stride-num_bar tiling
+        of num_bar-bar windows so segments cover the song without overlap;
+        the reference's stride-2 walk over 2-bar windows,
+        collect_song.get_whole_song_data, collect_song.py:34-57). Returns
+        raw arrays ready for the on-device tensorizer: pr (S,T,128),
+        mel (S,T,130), chord (S,T//4,14)."""
         if length is None:
             length = self.song_len[song_id]
         assert length + shift <= self.song_len[song_id]
         start = self.song_ind[song_id] + shift
         idx = np.arange(start, self.song_ind[song_id] + length + shift)
-        idx = idx[(idx - start) % 2 == 0]
+        idx = idx[(idx - start) % self.num_bar == 0]
         return {
             "pr": self.corpus.pr[idx],
             "mel": self.corpus.mel[idx],
@@ -52,9 +56,9 @@ class SongDatasets:
     collect_song.py:86-109)."""
 
     def __init__(self, train_corpus: SegmentCorpus, val_corpus: SegmentCorpus,
-                 min_bars: int = 16):
-        self.song_dataset_t = SongDataset(train_corpus, min_bars)
-        self.song_dataset_v = SongDataset(val_corpus, min_bars)
+                 min_bars: int = 16, num_bar: int = 2):
+        self.song_dataset_t = SongDataset(train_corpus, min_bars, num_bar)
+        self.song_dataset_v = SongDataset(val_corpus, min_bars, num_bar)
 
     def _pick(self, dataset_id: int) -> SongDataset:
         return self.song_dataset_t if dataset_id == 0 else self.song_dataset_v

@@ -99,3 +99,22 @@ def synthetic_corpora(n_songs: int = 20, seed: int = 3345,
                                                     ts=cfg.ts)
                                      for _ in range(n_songs)]
     return build_corpora(musics, cfg)
+
+
+def example_batch(batch_size: int, seed: int = 0
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Raw uint8 segments + chords + shifts — the train-step input format
+    (pr (B,32,128) uint8, chord (B,8,14) float32, shift (B,) int32).
+
+    The one canonical example-batch builder, shared by __graft_entry__,
+    the kernel smoke gate and bench.py (it must stay importable from the
+    installed package, without the repo root on sys.path)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DataConfig(), portion=4)
+    train, _ = synthetic_corpora(n_songs=4, seed=seed, n_bars=8, cfg=cfg)
+    n = len(train)
+    idx = np.arange(batch_size) % n
+    rng = np.random.RandomState(seed)
+    return (train.pr[idx], train.chord[idx],
+            rng.randint(-6, 6, batch_size).astype(np.int32))

@@ -71,6 +71,12 @@ class Sampler:
         else:
             self._chain = [frame_decoder]
         self.frame_decoder = self._chain[0]
+        #: (backend, batch) -> AOT-compiled decode executable. Compilation
+        #: is probed explicitly (lower().compile()) so only genuine COMPILE
+        #: failures degrade the backend chain; an execution-time error (OOM
+        #: mid-serving, interrupt) re-raises instead of permanently
+        #: downgrading the daemon (ADVICE r3).
+        self._compiled: dict = {}
         self._build_decode(self.frame_decoder)
 
         def enc_fn(params, pr_mat, c, dt_x):
@@ -119,18 +125,22 @@ class Sampler:
                 out_specs=data, check_vma=False))
         self.frame_decoder = backend
 
-    def _decode_degrading(self, zc, zr):
-        """One decode call, degrading down the backend chain on kernel
-        compile failure (jit compiles at first call per shape, so the
-        failure surfaces here, before any output exists)."""
+    def _compiled_decode(self, zc, zr):
+        """AOT-compiled decode executable for this batch shape, degrading
+        down the backend chain ONLY on trace/compile failure (the
+        lower().compile() probe isolates compilation from execution, so a
+        runtime error in the actual call re-raises to the caller — it is
+        not evidence the backend cannot compile)."""
         while True:
+            key = (self.frame_decoder, zc.shape[0])
+            exe = self._compiled.get(key)
+            if exe is not None:
+                return exe
             try:
-                return self._decode(self.params, zc, zr)
-            except Exception as e:
-                is_compile_err = (isinstance(e, jax.errors.JaxRuntimeError)
-                                  or type(e).__name__ == "MosaicError")
+                exe = self._decode.lower(self.params, zc, zr).compile()
+            except Exception as e:  # lowering (Mosaic) or XLA compile error
                 idx = self._chain.index(self.frame_decoder)
-                if not is_compile_err or idx + 1 >= len(self._chain):
+                if idx + 1 >= len(self._chain):
                     raise
                 import warnings
 
@@ -141,6 +151,14 @@ class Sampler:
                     f"{str(e)[:200]}); degrading to '{nxt}' "
                     "(output-parity tested, slower)")
                 self._build_decode(nxt)
+                continue
+            self._compiled[key] = exe
+            return exe
+
+    def _decode_degrading(self, zc, zr):
+        """One decode call: compile (with backend degrade) then execute
+        (execution errors propagate)."""
+        return self._compiled_decode(zc, zr)(self.params, zc, zr)
 
     # -- core ------------------------------------------------------------------
 

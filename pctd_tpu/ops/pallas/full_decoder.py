@@ -135,6 +135,14 @@ def decode_grid_fused(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     B = z.shape[0]
     T = spec.num_step
     K, W = spec.max_simu_note, spec.dur_width
+    if W > 7:
+        # the per-slot (8, B) output tile packs [1 pitch row | W dur rows |
+        # (7-W) pad rows]; a wider dur code needs a 16-row tile + a matching
+        # out_shape/unpack, which no shipped config uses
+        raise ValueError(
+            f"decode_grid_fused supports dur_width <= 7 (got {W}): the "
+            "slot store uses one 8-row sublane tile of [pitch | dur bits | "
+            "pad]. Use frame_decoder='pallas' or 'xla' for wider dur codes.")
 
     from pctd_tpu.models.pianotree_decoder import sos_token_raw
 

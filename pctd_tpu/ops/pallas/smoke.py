@@ -46,8 +46,8 @@ def _compile_train(which: str, batch: int) -> None:
 
     import jax
 
-    from __graft_entry__ import _example_batch
     from pctd_tpu.config import ModelConfig, TrainConfig
+    from pctd_tpu.data.synthetic import example_batch
     from pctd_tpu.models import disentangle_vae as dv
     from pctd_tpu.train.trainer import batch_features
 
@@ -61,7 +61,7 @@ def _compile_train(which: str, batch: int) -> None:
     tcfg = TrainConfig(batch_size=batch)
     params = jax.eval_shape(
         lambda: dv.init_params(jax.random.PRNGKey(0), mcfg))
-    pr0, c0, s0 = _example_batch(1)
+    pr0, c0, s0 = example_batch(1)
     abstract = [jax.ShapeDtypeStruct((batch,) + a.shape[1:], a.dtype)
                 for a in (pr0, c0, s0)]
     x, c, pr_mat, dt_x = jax.eval_shape(

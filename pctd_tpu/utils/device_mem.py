@@ -8,9 +8,15 @@ order per quantity:
 
 1. explicit env override (``PCTD_HBM_BYTES`` / ``PCTD_VMEM_BYTES``) — the
    escape hatch for devices this table predates;
-2. ``device.memory_stats()['bytes_limit']`` for HBM (unavailable through
-   some remote-TPU tunnels, where it returns None);
-3. a device-kind table of published per-device budgets;
+2. a device-kind table of published per-device budgets — preferred for
+   KNOWN kinds, because runtimes commonly report a reserved-adjusted
+   ``bytes_limit`` slightly below the published HBM, which would silently
+   shrink the measured auto-accum envelope (2048 -> 1920 on a v5e with a
+   5% reservation) even though the envelope was measured under the same
+   reservation (ADVICE r3);
+3. ``device.memory_stats()['bytes_limit']`` for HBM on kinds the table
+   does not know (unavailable through some remote-TPU tunnels, where it
+   returns None);
 4. the measured v5e constants (i.e. today's behavior, unchanged).
 
 VMEM has no runtime query API, so it resolves 1 -> 3 -> 4 only.
@@ -76,16 +82,16 @@ def hbm_bytes(device=None) -> Optional[int]:
         d = device if device is not None else jax.local_devices()[0]
     except Exception:  # noqa: BLE001
         return None
+    kind = _kind(d)
+    for marker, size in _HBM_BY_KIND:
+        if marker in kind:
+            return size
     try:
         stats = d.memory_stats()
         if stats and stats.get("bytes_limit"):
             return int(stats["bytes_limit"])
     except Exception:  # noqa: BLE001 — tunnel backends raise/return None
         pass
-    kind = _kind(d)
-    for marker, size in _HBM_BY_KIND:
-        if marker in kind:
-            return size
     return None
 
 

@@ -39,7 +39,7 @@ def _bench_mesh(n_devices: int, global_batch: int, n_steps: int = 4,
                 repeats: int = 3):
     import jax
 
-    from __graft_entry__ import _example_batch
+    from pctd_tpu.data.synthetic import example_batch as _example_batch
     from pctd_tpu.config import TrainConfig
     from pctd_tpu.parallel import (make_mesh, make_parallel_train_step,
                                    replicate, shard_batch)

@@ -78,14 +78,27 @@ def test_kind_table_fallback():
     assert device_mem.vmem_bytes(Unknown()) == device_mem.MEASURED_VMEM
 
 
-def test_memory_stats_preferred():
+def test_kind_table_beats_reserved_bytes_limit():
+    # Known kinds use the published table: runtimes report a
+    # reserved-adjusted bytes_limit below the published HBM, which would
+    # silently shrink the measured envelope (ADVICE r3) — the envelope was
+    # measured under the same reservation, so the table is the right basis.
     class Dev:
         device_kind = "TPU v5 lite"
 
         def memory_stats(self):
-            return {"bytes_limit": 12 * GiB}  # runtime-reported beats table
+            return {"bytes_limit": 15 * GiB}  # 16 GiB minus reservation
 
-    assert device_mem.hbm_bytes(Dev()) == 12 * GiB
+    assert device_mem.hbm_bytes(Dev()) == 16 * GiB
+
+    class UnknownWithStats:
+        device_kind = "TPU v9 hyperpod"
+
+        def memory_stats(self):
+            return {"bytes_limit": 12 * GiB}
+
+    # unknown kind: the runtime report is the only signal — use it
+    assert device_mem.hbm_bytes(UnknownWithStats()) == 12 * GiB
 
 
 def test_auto_accum_scales_with_hbm(mem_env):

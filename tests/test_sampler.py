@@ -138,11 +138,23 @@ def test_sampler_auto_resolves_to_xla_off_tpu():
     assert est.shape == (2, 32, SMALL.pianotree.max_simu_note - 1, 6)
 
 
+class _CompileBoom:
+    """jit-like stand-in whose AOT compile probe fails (Mosaic/XLA compile
+    error territory — the only condition that may degrade the chain)."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    def lower(self, *args):
+        raise jax.errors.JaxRuntimeError(
+            f"synthetic Mosaic failure in {self.backend}")
+
+
 def test_sampler_auto_degrades_on_compile_failure():
     """The auto chain must walk pallas_full -> pallas -> xla on kernel
-    compile failures (VERDICT r2 item 7), mirroring Trainer's one-shot
-    degrade. Simulated here: the two kernel backends raise the compile
-    error class jit surfaces on the first call."""
+    COMPILE failures (VERDICT r2 item 7), mirroring Trainer's one-shot
+    degrade. The failure is injected at the AOT lower/compile probe — the
+    only place degrade is allowed (ADVICE r3)."""
     params = dv.init_params(jax.random.PRNGKey(0), SMALL)
     s = Sampler(params, SMALL, frame_decoder="xla")
     real_build = s._build_decode
@@ -153,11 +165,7 @@ def test_sampler_auto_degrades_on_compile_failure():
         if backend == "xla":
             real_build(backend)
         else:
-            def boom(params, zc, zr):
-                raise jax.errors.JaxRuntimeError(
-                    f"synthetic Mosaic failure in {backend}")
-
-            s._decode = boom
+            s._decode = _CompileBoom(backend)
             s.frame_decoder = backend
 
     s._build_decode = fake_build
@@ -178,12 +186,35 @@ def test_sampler_explicit_backend_failure_raises():
     chain has length 1, so the compile error propagates."""
     params = dv.init_params(jax.random.PRNGKey(0), SMALL)
     s = Sampler(params, SMALL, frame_decoder="xla")
-
-    def boom(params, zc, zr):
-        raise jax.errors.JaxRuntimeError("synthetic failure")
-
-    s._decode = boom
+    s._decode = _CompileBoom("xla")
     zc = np.zeros((2, SMALL.chd_z_dim), np.float32)
     zr = np.zeros((2, SMALL.txt_z_dim), np.float32)
     with pytest.raises(jax.errors.JaxRuntimeError):
         s.decode(zc, zr)
+
+
+def test_sampler_runtime_error_reraises_without_degrade():
+    """An EXECUTION-time failure (device OOM mid-serving, interrupt) must
+    re-raise, not permanently downgrade the serving backend (ADVICE r3:
+    compile probing isolates the two failure classes)."""
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    s = Sampler(params, SMALL, frame_decoder="xla")
+    s._chain = ["xla", "xla-fallback-never-reached"]
+
+    def exe_boom(params, zc, zr):
+        raise jax.errors.JaxRuntimeError("synthetic RESOURCE_EXHAUSTED")
+
+    class CompilesButDiesAtRun:
+        def lower(self, *args):
+            class L:
+                def compile(self):
+                    return exe_boom
+            return L()
+
+    s._decode = CompilesButDiesAtRun()
+    zc = np.zeros((2, SMALL.chd_z_dim), np.float32)
+    zr = np.zeros((2, SMALL.txt_z_dim), np.float32)
+    with pytest.raises(jax.errors.JaxRuntimeError,
+                       match="RESOURCE_EXHAUSTED"):
+        s.decode(zc, zr)
+    assert s.frame_decoder == "xla"  # chain position untouched
