@@ -9,15 +9,42 @@ doing on-device tensorization + forward + backward + clip + Adam. The value
 reported is the THROUGHPUT config (bf16, large batch); the canonical-parity
 B=128 numbers (bf16 + f32) ride along in "extra" with explicit batch/dtype
 labels, as do tensorization throughput, sampling decode per backend
-(pallas/xla), and an analytic MFU estimate from XLA's compiled cost model.
+(pallas/xla), serving-workflow latency, per-section compile seconds, and an
+analytic MFU estimate.
 
 ``vs_baseline`` is the ratio against the measured PyTorch reference on this
 host (BASELINE_MEASURED.json; the reference publishes no numbers).
+
+Wall-clock discipline (VERDICT r3 item 1): rounds 2 and 3 both failed to
+land a driver-verified number — r2 to an unguarded crash, r3 to the driver's
+timeout after 1,574 s of cold-cache kernel-gate compiles. This file now
+enforces a BUDGET:
+
+- ``BENCH_BUDGET_S`` (env, default 1380 s = 23 min) is a hard deadline.
+  Sections run in PRIORITY order (headline train throughput first, the gate
+  and decode matrix after, optional extras last); before each section its
+  estimated cost is checked against the remaining budget and the section is
+  SKIPPED (recorded, never silent) when it cannot fit.
+- Estimates self-tune: a successful section writes its actual seconds into
+  ``.jax_cache/bench_warm.json`` keyed by a fingerprint of the package
+  sources; while the fingerprint matches (= the persistent compile cache is
+  still valid) the recorded time is the estimate, so a warm re-run schedules
+  everything and a cold run schedules what fits.
+- ``signal.alarm`` backstop at budget+60 s: if a section overruns its
+  estimate the alarm aborts the measurement phase and the best-known
+  headline JSON still prints, exit 0. (A single in-flight XLA/Mosaic compile
+  cannot be preempted by a Python signal — the budget's 7-minute margin
+  against the driver's wall clock absorbs the worst single compile in the
+  default matrix, ~190 s.)
+
+The artifact degrades; it never nulls and never times out.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -28,22 +55,28 @@ PEAK_FLOPS = {  # per chip, dense
     "float32": 98.5e12,
 }
 
-# ---------------------------------------------------------------------------
-# Crash-safety (VERDICT r2 item 1b): round 2's driver bench executed ~30 min
-# of successful measurements and lost ALL of them to one late unguarded
-# Mosaic compile failure, because results were printed only at the very end.
-# Now: (a) EVERY section runs under _guard — a failure is recorded and the
-# bench continues; (b) each section's result is written incrementally to
-# bench_progress.json and echoed to stderr as it lands; (c) main() always
-# prints one valid JSON line on stdout, degrading the headline through
-# fallbacks instead of dying.
-# ---------------------------------------------------------------------------
+REPO = os.path.dirname(os.path.abspath(__file__))
+PROGRESS_PATH = os.path.join(REPO, "bench_progress.json")
+WARM_MARKER = os.path.join(
+    os.environ.get("PCTD_JAX_CACHE", os.path.join(REPO, ".jax_cache")),
+    "bench_warm.json")
 
-PROGRESS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_progress.json")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+_T0 = time.monotonic()
 
 _progress = {}      # label -> {"ok": bool, "seconds": N, ...}
 _failures = []      # [{"section": ..., "error": ...}]
+_skipped = []       # [label, ...] sections not run for budget reasons
+_compile_s = {}     # label -> first-call (compile-dominated) seconds
+
+
+class _BenchTimeout(BaseException):
+    """Raised by the SIGALRM backstop; BaseException so section guards
+    (which catch Exception) cannot swallow it."""
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def _emit_progress(label: str, payload: dict):
@@ -53,20 +86,29 @@ def _emit_progress(label: str, payload: dict):
             json.dump(_progress, f, indent=1, default=str)
     except OSError:
         pass
-    status = "ok" if payload.get("ok") else f"FAIL {payload.get('error')}"
-    print(f"[bench] {label}: {status} ({payload.get('seconds')}s)",
-          file=sys.stderr, flush=True)
+    status = ("ok" if payload.get("ok")
+              else "SKIP " + payload["skipped"] if payload.get("skipped")
+              else f"FAIL {payload.get('error')}")
+    print(f"[bench] {label}: {status} ({payload.get('seconds')}s, "
+          f"{_remaining():.0f}s left)", file=sys.stderr, flush=True)
 
 
 def _guard(label: str, fn, *args, **kwargs):
-    """Run one bench section; on failure, record + continue (never raise)."""
+    """Run one bench section; on failure, record + continue (never raise —
+    except the alarm's _BenchTimeout, which aborts the measurement phase)."""
     t0 = time.perf_counter()
     try:
         result = fn(*args, **kwargs)
-        _emit_progress(label, {"ok": True,
-                               "seconds": round(time.perf_counter() - t0, 1),
-                               "result": result})
+        dt = round(time.perf_counter() - t0, 1)
+        _emit_progress(label, {"ok": True, "seconds": dt, "result": result})
+        _warm_record(label, dt)
         return result
+    except _BenchTimeout:
+        _failures.append({"section": label, "error": "budget deadline hit "
+                          "mid-section (SIGALRM backstop)"})
+        _emit_progress(label, {"ok": False, "error": "deadline",
+                               "seconds": round(time.perf_counter() - t0, 1)})
+        raise
     except Exception as e:  # noqa: BLE001 — unattended driver run
         traceback.print_exc(file=sys.stderr)
         err = f"{type(e).__name__}: {str(e)[:300]}"
@@ -75,11 +117,102 @@ def _guard(label: str, fn, *args, **kwargs):
                                "seconds": round(time.perf_counter() - t0, 1)})
         return None
 
+
+# ---------------------------------------------------------------------------
+# Budget scheduling: per-section cold-cache cost estimates (seconds, from the
+# BENCH_r03 gate log + round-3 builder runs), overridden by the self-tuned
+# warm marker when the package-source fingerprint still matches.
+# ---------------------------------------------------------------------------
+
+_COLD_EST = {
+    "train_b2048_frame_kernel": 280.0,
+    "tensorize": 90.0,
+    "train_b128_bf16": 220.0,
+    "kernel_gate": 520.0,
+    "decode_pallas_b128": 160.0,
+    "decode_pallas_full_b128": 170.0,
+    "decode_xla_b128": 130.0,
+    "decode_pallas_b512": 160.0,
+    "decode_pallas_full_b512": 170.0,
+    "serve_workflows": 220.0,
+    "train_b128_frame_kernel": 170.0,
+    "train_b128_f32": 220.0,
+    "train_b4096_auto_accum": 320.0,
+    "train_b2048_xla": 420.0,
+    "train_b2048_frame_kernel_nofuse": 280.0,
+    "multichip_cpu_mesh": 300.0,
+}
+
+_MIN_HEADROOM = 45.0
+
+
+def _tree_fingerprint() -> str:
+    """Content hash of every package source that feeds the compiled
+    programs — exactly what invalidates the persistent compile cache."""
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(os.path.join(REPO, "pctd_tpu"))):
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(root, name)
+            h.update(p.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _load_warm_marker() -> dict:
+    try:
+        with open(WARM_MARKER) as f:
+            m = json.load(f)
+        if m.get("fingerprint") == _FINGERPRINT:
+            return m.get("sections", {})
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+_FINGERPRINT = _tree_fingerprint()
+_warm = {}          # label -> actual seconds from a prior matching run
+
+
+def _warm_record(label: str, seconds: float):
+    _warm[label] = seconds
+    try:
+        os.makedirs(os.path.dirname(WARM_MARKER), exist_ok=True)
+        with open(WARM_MARKER, "w") as f:
+            json.dump({"fingerprint": _FINGERPRINT, "sections": _warm}, f)
+    except OSError:
+        pass
+
+
+def _estimate(label: str) -> float:
+    if label in _warm:
+        return _warm[label] * 1.5 + 15.0
+    return _COLD_EST.get(label, 120.0)
+
+
+def _section(label: str, fn, *args, required: bool = False,
+             est: float | None = None, **kwargs):
+    """Budget-aware section runner: skip (recorded) when the estimated cost
+    does not fit the remaining budget. ``required`` sections always run —
+    the headline must be attempted even on a fully cold cache."""
+    need = max(_MIN_HEADROOM, est if est is not None else _estimate(label))
+    if not required and _remaining() < need:
+        _skipped.append(label)
+        _emit_progress(label, {
+            "ok": False, "skipped": f"budget ({_remaining():.0f}s left < "
+            f"~{need:.0f}s estimated)", "seconds": 0.0})
+        return None
+    return _guard(label, fn, *args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # Measurement discipline (VERDICT r1 #2): every number is the MEDIAN of
 # REPEATS independently-synced chains (after warmup), and each result carries
-# its relative spread (max-min)/median as a machine-contention sentinel —
-# a spread above SPREAD_WARN flags the run as contended rather than letting
-# an outlier chain skew a published mean.
+# its relative spread (max-min)/median as a machine-contention sentinel.
+# ---------------------------------------------------------------------------
+
 REPEATS = 5
 SPREAD_WARN = 0.15
 
@@ -88,18 +221,20 @@ _spreads = []       # (label, rel_spread) of every timed section this run
 
 def _median_time(chain, label: str, repeats: int = REPEATS):
     """Run ``chain()`` (which must fully sync the device before returning)
-    ``repeats`` times; record spread; return the median wall time."""
+    ``repeats`` times; record spread; return (median, rel_spread)."""
     times = [chain() for _ in range(repeats)]
     med = statistics.median(times)
-    _spreads.append((label, (max(times) - min(times)) / med if med else 0.0))
-    return med
+    spread = (max(times) - min(times)) / med if med else 0.0
+    _spreads.append((label, spread))
+    return med, spread
 
 
 def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
                       with_cost: bool = False, remat: bool = False,
                       unroll_dur: int = 1, frame_kernel: bool = False,
-                      seq_kernel: bool = False, fused: bool = None):
+                      seq_kernel: bool = False, fused: bool = None,
+                      compile_label: str = None):
     import dataclasses
 
     import jax
@@ -129,10 +264,16 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
 
     # compile + warmup, hard host sync (float(); block_until_ready alone is
-    # unreliable on this stack's async relay)
-    for _ in range(2):
-        state, metrics = step(state, pr, chord, shift)
-        float(metrics["loss"])
+    # unreliable on this stack's async relay). First call is compile-
+    # dominated — recorded as this section's compile_seconds.
+    t_compile = time.perf_counter()
+    state, metrics = step(state, pr, chord, shift)
+    float(metrics["loss"])
+    compile_s = round(time.perf_counter() - t_compile, 1)
+    if compile_label:
+        _compile_s[compile_label] = compile_s
+    state, metrics = step(state, pr, chord, shift)
+    float(metrics["loss"])
 
     flops = None
     if with_cost:
@@ -157,7 +298,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     label = f"train_b{batch_size}_{compute_dtype}" + \
         ("_seq_kernel" if seq_kernel else
          "_kernel" if frame_kernel else "")
-    dt = _median_time(chain, label)
+    dt, spread = _median_time(chain, label)
 
     # per-step host-synced variant for reference
     def sync_chain():
@@ -170,12 +311,13 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
         state = s
         return (time.perf_counter() - t0) / 4
 
-    dt_sync = _median_time(sync_chain, label + "_hostsync", repeats=3)
+    dt_sync, _ = _median_time(sync_chain, label + "_hostsync", repeats=3)
     from pctd_tpu.train.trainer import auto_accum_steps
     return {"segments_per_sec": batch_size / dt, "step_seconds": dt,
             "step_seconds_hostsync": dt_sync, "final_loss": loss_box["loss"],
             "batch_size": batch_size, "dtype": compute_dtype,
             "remat": remat, "flops_per_step": flops,
+            "compile_seconds": compile_s, "rel_spread": round(spread, 4),
             "accum_steps": auto_accum_steps(mcfg, tcfg)}
 
 
@@ -250,8 +392,10 @@ def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
     f = jax.jit(lambda p, c, s: tensorize_batch(
         p, c, s, spec=PianoTreeSpec(), with_detrend=True))
+    t_compile = time.perf_counter()
     out = f(pr, chord, shift)
     float(out["x"][0, 0, 0, 0])
+    _compile_s["tensorize"] = round(time.perf_counter() - t_compile, 1)
     # accumulate-chain so every iteration really executes, with one final sync
     # (per-iteration host syncs are dominated by ~30 ms tunnel RTT)
     add = jax.jit(lambda a, o: a + o["pr_mat"].sum())
@@ -265,13 +409,20 @@ def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
         float(acc)
         return (time.perf_counter() - t0) / n_iters
 
-    dt = _median_time(chain, "tensorize")
+    dt, _ = _median_time(chain, "tensorize")
     return batch_size / dt
 
 
-def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
+def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
+                   repeats: int = 7, respread: float = 0.10):
     """Pure autoregressive decode (inference mode) throughput, per backend
-    ('pallas' fused frame kernel vs 'xla' nested scans)."""
+    ('pallas' fused frame kernel vs 'xla' nested scans).
+
+    Decode rows re-measure once when the first pass's spread exceeds
+    ``respread`` (VERDICT r3 item 7: the published B=512 rows carried a 29%
+    contention spread) and the lower-spread pass is kept; every row carries
+    its rel_spread.
+    """
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -286,8 +437,11 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
     z_rhy = jax.random.normal(jax.random.PRNGKey(2),
                               (batch_size, mcfg.txt_z_dim))
     decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder=backend))
+    t_compile = time.perf_counter()
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
     float(est[0, 0, 0, 0])
+    _compile_s[f"decode_{backend}_b{batch_size}"] = round(
+        time.perf_counter() - t_compile, 1)
     add = jax.jit(lambda a, e: a + e.sum())
 
     def chain():
@@ -299,19 +453,138 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8):
         float(acc)
         return (time.perf_counter() - t0) / n_iters
 
-    dt = _median_time(chain, f"sample_decode_{backend}_b{batch_size}")
+    label = f"sample_decode_{backend}_b{batch_size}"
+    dt, spread = _median_time(chain, label, repeats=repeats)
+    if spread > respread and _remaining() > 60:
+        dt2, spread2 = _median_time(chain, label + "_retry",
+                                    repeats=repeats)
+        if spread2 < spread:
+            dt, spread = dt2, spread2
     return {"backend": backend, "batch_size": batch_size,
             "segments_per_sec": batch_size / dt,
-            "ms_per_batch": dt * 1e3}
+            "ms_per_batch": dt * 1e3, "rel_spread": round(spread, 4)}
+
+
+def _bench_serve_workflows(fixed_batch: int = 128, repeats: int = 3):
+    """End-to-end serving-daemon latency (VERDICT r3 item 6): MIDI in ->
+    MIDI out through scripts/serve.py's Server for each of the four
+    latent-control workflows, at the production fixed-batch shape against
+    the gate-verified pallas backend. Reference flows: model.py:117-242.
+
+    fixed_batch=128 deliberately shares the decode program with the
+    decode_pallas_b128 bench row (and the gate), so this section adds one
+    small encode compile, not another multi-minute Mosaic build.
+    """
+    import importlib.util
+    import tempfile
+
+    import jax
+
+    from pctd_tpu.config import ModelConfig
+    from pctd_tpu.models.disentangle_vae import DisentangleVAE
+    from pctd_tpu.models.sampler import Sampler
+
+    spec = importlib.util.spec_from_file_location(
+        "pctd_serve", os.path.join(REPO, "scripts", "serve.py"))
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    demo = os.path.join(REPO, "runs", "demo_realmidi",
+                        "1_compositional_style_transfer",
+                        "16bar_style_transfer")
+    mid_a = os.path.join(demo, "A_original.mid")
+    mid_b = os.path.join(demo, "B_original.mid")
+
+    cfg = ModelConfig()
+    model = DisentangleVAE.init_model(jax.random.PRNGKey(0), cfg)
+    sampler = Sampler(model.params, cfg, frame_decoder="pallas",
+                      fixed_batch=fixed_batch)
+    server = serve_mod.Server(sampler, cfg.pianotree, max_windows=8, cfg=cfg)
+
+    out = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        reqs = {
+            "style_transfer": {"op": "style_transfer", "content": mid_a,
+                               "style": mid_b,
+                               "out": os.path.join(tmp, "st.mid"),
+                               "fix": "chord"},
+            "variation": {"op": "variation", "input": mid_a,
+                          "out": os.path.join(tmp, "var.mid"),
+                          "scale": 0.5, "seed": 3},
+            "prior": {"op": "prior", "input": mid_a,
+                      "out": os.path.join(tmp, "prior.mid"),
+                      "sample": "texture", "seed": 0},
+            "interp": {"op": "interp", "a": mid_a, "b": mid_b,
+                       "out": os.path.join(tmp, "i_%02d.mid"),
+                       "count": 5, "what": "chord"},
+        }
+        first = True
+        for op, req in reqs.items():
+            t0 = time.perf_counter()
+            resp = server.handle(dict(req))          # compile + warmup
+            warm_s = time.perf_counter() - t0
+            if first:
+                _compile_s["serve_encode_decode"] = round(warm_s, 1)
+                first = False
+            if not resp.get("ok", True):
+                raise RuntimeError(f"{op}: {resp}")
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                server.handle(dict(req))
+                times.append((time.perf_counter() - t0) * 1e3)
+            out[op] = {"p50_ms": round(statistics.median(times), 1),
+                       "max_ms": round(max(times), 1),
+                       "windows": int(resp.get("windows", 0)),
+                       "first_call_ms": round(warm_s * 1e3, 1)}
+    out["fixed_batch"] = fixed_batch
+    out["backend"] = sampler.frame_decoder
+
+    # AOT cold-start (VERDICT r3 item 2): serialize the compiled serving
+    # executables, preload them into a FRESH sampler, and time one request —
+    # the daemon cold-start a deploy pays with `serve.py --aot-dir`.
+    # Recorded best-effort: a backend without executable serialization
+    # support records the error instead of failing the section.
+    try:
+        with tempfile.TemporaryDirectory() as aot_tmp:
+            t0 = time.perf_counter()
+            sampler.export_aot(aot_tmp)
+            export_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fresh = Sampler(model.params, cfg, frame_decoder="pallas",
+                            fixed_batch=fixed_batch, aot_dir=aot_tmp)
+            preload_s = time.perf_counter() - t0
+            server2 = serve_mod.Server(fresh, cfg.pianotree, max_windows=8,
+                                       cfg=cfg)
+            req = {"op": "variation", "input": mid_a, "scale": 0.5,
+                   "seed": 3, "out": os.path.join(aot_tmp, "v.mid")}
+            t0 = time.perf_counter()
+            resp = server2.handle(req)
+            first_ms = (time.perf_counter() - t0) * 1e3
+            out["aot"] = {
+                "export_s": round(export_s, 1),
+                "preload_s": round(preload_s, 2),
+                "first_request_ms": round(first_ms, 1),
+                "loaded": len(fresh.aot_report["loaded"]),
+                "skipped": len(fresh.aot_report["skipped"]),
+                "cold_start_s": round(preload_s + first_ms / 1e3, 2),
+            }
+            if not resp.get("ok", True):
+                out["aot"]["error"] = str(resp)
+    except Exception as e:  # noqa: BLE001 — AOT support is best-effort here
+        out["aot"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    return out
 
 
 def _run_kernel_gate():
-    """Preflight (VERDICT r2 item 2): AOT-compile every Pallas kernel entry
-    over the realistic batch matrix BEFORE any timed section. With the
-    persistent compile cache these compiles ARE the timed sections' compiles,
-    so the marginal cost is only the extra combos; the payoff is that a
-    lowering regression surfaces as a labeled gate failure instead of a
-    mid-bench crash, and failed combos are skipped below."""
+    """Preflight for the decode matrix (VERDICT r2 item 2, r3 item 1c):
+    AOT-compile the DRIVER-PATH kernels — the two serving backends at the
+    decode-matrix batches plus the fused train-frame kernel at the headline
+    batch (a cache hit when the headline section already ran). A lowering
+    regression surfaces as a labeled gate failure and the affected decode
+    rows are skipped instead of crashing mid-bench. Runs AFTER the headline
+    sections: round 3 ran the full 8-entry matrix first and its 1,574 s of
+    cold compiles starved the driver's wall clock."""
     from pctd_tpu.ops.pallas import smoke
 
     results, ok = smoke.run_gate(serve_batches=(128, 512),
@@ -335,18 +608,17 @@ def _bench_multichip_cpu_mesh():
     exercises the sharded path's overheads continuously, it is NOT a TPU
     scaling claim."""
     import subprocess
-    import sys
 
-    repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
                      if "host_platform_device_count" not in f)
     env["XLA_FLAGS"] = (flags +
                         " --xla_force_host_platform_device_count=8").strip()
+    timeout = max(60, min(1800, int(_remaining())))
     proc = subprocess.run([sys.executable, "scripts/bench_multichip.py"],
-                          env=env, cwd=repo, capture_output=True, text=True,
-                          timeout=1800)
+                          env=env, cwd=REPO, capture_output=True, text=True,
+                          timeout=timeout)
     if proc.returncode != 0:
         raise RuntimeError(f"bench_multichip rc={proc.returncode}: "
                            f"{proc.stderr[-500:]}")
@@ -355,68 +627,103 @@ def _bench_multichip_cpu_mesh():
 
 def main():
     baseline = None
-    bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BASELINE_MEASURED.json")
+    bpath = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(bpath):
         with open(bpath) as f:
             baseline = json.load(f)
 
-    gate = _guard("kernel_gate", _run_kernel_gate)
+    _warm.update(_load_warm_marker())
+    warm_at_start = bool(_warm)
+    if _warm:
+        print(f"[bench] warm marker matches source fingerprint "
+              f"({len(_warm)} tuned sections)", file=sys.stderr, flush=True)
 
-    # throughput config: bf16, B=2048, fused train-frame Pallas kernel with
-    # hand-written VJP (ops/pallas/train_frame) — the whole teacher-forced
-    # frame incl. the summary bi-GRU runs in VMEM fwd+bwd, and with
-    # fused_loss (the default) the reconstruction CE too: the padded
-    # pitch/dur logits never round-trip HBM.
-    big = _guard("train_b2048_frame_kernel", _bench_train_step,
-                 n_steps=8, batch_size=2048, compute_dtype="bfloat16",
-                 with_cost=True, remat=True, frame_kernel=True)
-    # the logits-out (non-fused-CE) frame kernel — the round-2 headline
-    # config, kept as the fused-loss fallback and measured for the delta
-    big_nofuse = _guard("train_b2048_frame_kernel_nofuse", _bench_train_step,
-                        n_steps=8, batch_size=2048, compute_dtype="bfloat16",
-                        remat=True, frame_kernel=True, fused=False)
-    # whole-sequence fused kernel (time level folded in, ops/pallas/
-    # train_seq); the headline below is the measured best of the three.
-    big_seq = _guard("train_b2048_seq_kernel", _bench_train_step,
-                     n_steps=8, batch_size=2048, compute_dtype="bfloat16",
-                     with_cost=True, seq_kernel=True)
-    # the XLA nested-scan path at the same shape (frame remat + dur unroll)
-    big_xla = _guard("train_b2048_xla", _bench_train_step,
-                     n_steps=8, batch_size=2048, compute_dtype="bfloat16",
-                     remat=True, unroll_dur=5)
-    # B=4096: exceeds the single-step HBM envelope; TrainConfig.accum_steps=0
-    # (auto) engages 2 microbatches so it trains instead of OOMing
-    b4096 = _guard("train_b4096_auto_accum", _bench_train_step,
-                   n_steps=4, batch_size=4096, compute_dtype="bfloat16",
-                   remat=True, frame_kernel=True)
-    # canonical-parity configs at the reference batch size
-    b128_bf16 = _guard("train_b128_bf16", _bench_train_step,
-                       compute_dtype="bfloat16")
-    b128_kernel = _guard("train_b128_frame_kernel", _bench_train_step,
-                         compute_dtype="bfloat16", remat=True,
-                         frame_kernel=True)
-    b128_f32 = _guard("train_b128_f32", _bench_train_step,
-                      compute_dtype="float32")
-    tens_per_sec = _guard("tensorize", _bench_tensorize)
+    from pctd_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
-    # serving decode matrix; combos the preflight gate saw fail are skipped
-    # (recorded as gate failures), everything else is guarded individually
-    decodes = []
-    for backend, bs in (("pallas", 128), ("pallas_full", 128), ("xla", 128),
-                        ("pallas", 512), ("pallas_full", 512)):
-        label = f"decode_{backend}_b{bs}"
-        if backend != "xla" and not _gate_allows(
-                gate, f"serve_{backend}_b{bs}"):
-            _emit_progress(label, {"ok": False, "seconds": 0.0,
-                                   "error": "skipped: preflight gate "
-                                            "recorded a compile failure"})
-            continue
-        d = _guard(label, _bench_sampler, backend, batch_size=bs)
-        if d:
-            decodes.append(d)
+    if hasattr(signal, "SIGALRM"):
+        def _alarm(_sig, _frm):
+            raise _BenchTimeout()
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(BUDGET_S + 60))
 
-    multichip = _guard("multichip_cpu_mesh", _bench_multichip_cpu_mesh)
+    # results land here as sections complete; the final print reads ONLY
+    # this dict, so an aborted measurement phase still reports everything
+    # measured so far.
+    R = {"decodes": []}
+
+    def measure():
+        # 1) the headline: bf16 B=2048, fused train-frame Pallas kernel with
+        # hand-written VJP + in-kernel reconstruction CE — always attempted.
+        R["big"] = _section(
+            "train_b2048_frame_kernel", _bench_train_step, required=True,
+            n_steps=8, batch_size=2048, compute_dtype="bfloat16",
+            with_cost=True, remat=True, frame_kernel=True,
+            compile_label="train_b2048_frame_kernel")
+        # 2) tensorization throughput (the 50k/s north star)
+        R["tens"] = _section("tensorize", _bench_tensorize)
+        # 3) canonical-parity B=128 bf16 (the reference's batch size)
+        R["b128_bf16"] = _section(
+            "train_b128_bf16", _bench_train_step, compute_dtype="bfloat16",
+            compile_label="train_b128_bf16")
+        # 4) driver-path kernel gate (serving backends; train_frame = cache
+        # hit after #1); failures mark decode rows to skip
+        R["gate"] = _section("kernel_gate", _run_kernel_gate)
+        # 5) serving decode matrix
+        for backend, bs in (("pallas", 128), ("pallas_full", 128),
+                            ("xla", 128), ("pallas", 512),
+                            ("pallas_full", 512)):
+            label = f"decode_{backend}_b{bs}"
+            if backend != "xla" and not _gate_allows(
+                    R["gate"], f"serve_{backend}_b{bs}"):
+                _emit_progress(label, {"ok": False, "seconds": 0.0,
+                                       "error": "skipped: preflight gate "
+                                       "recorded a compile failure"})
+                continue
+            d = _section(label, _bench_sampler, backend, batch_size=bs)
+            if d:
+                R["decodes"].append(d)
+        # 6) serving-workflow end-to-end latency
+        R["serve"] = _section("serve_workflows", _bench_serve_workflows)
+        # 7) remaining canonical/capability rows
+        R["b128_kernel"] = _section(
+            "train_b128_frame_kernel", _bench_train_step,
+            compute_dtype="bfloat16", remat=True, frame_kernel=True,
+            compile_label="train_b128_frame_kernel")
+        R["b128_f32"] = _section(
+            "train_b128_f32", _bench_train_step, compute_dtype="float32",
+            compile_label="train_b128_f32")
+        R["b4096"] = _section(
+            "train_b4096_auto_accum", _bench_train_step, n_steps=4,
+            batch_size=4096, compute_dtype="bfloat16", remat=True,
+            frame_kernel=True, compile_label="train_b4096_auto_accum")
+        # 8) comparison rows: XLA scan path + logits-out kernel fallback
+        R["big_xla"] = _section(
+            "train_b2048_xla", _bench_train_step, n_steps=8,
+            batch_size=2048, compute_dtype="bfloat16", remat=True,
+            unroll_dur=5, compile_label="train_b2048_xla")
+        R["big_nofuse"] = _section(
+            "train_b2048_frame_kernel_nofuse", _bench_train_step, n_steps=8,
+            batch_size=2048, compute_dtype="bfloat16", remat=True,
+            frame_kernel=True, fused=False,
+            compile_label="train_b2048_frame_kernel_nofuse")
+        # 9) CPU-mesh scaling smoke (subprocess, own device pool)
+        R["multichip"] = _section("multichip_cpu_mesh",
+                                  _bench_multichip_cpu_mesh)
+
+    try:
+        measure()
+    except _BenchTimeout:
+        print(f"[bench] BUDGET deadline ({BUDGET_S:.0f}s) hit — printing "
+              "best-known results", file=sys.stderr, flush=True)
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
+
+    big, big_xla, big_nofuse = (R.get("big"), R.get("big_xla"),
+                                R.get("big_nofuse"))
+    b128_bf16 = R.get("b128_bf16")
+    decodes = R["decodes"]
 
     # headline selection with fallbacks: best verified kernel config, else
     # XLA path, else the canonical B=128 config — the artifact degrades, it
@@ -426,8 +733,6 @@ def main():
               "in-kernel reconstruction CE)"),
         (big_nofuse, "train-frame Pallas kernel (hand-written VJP, "
                      "logits-out CE)"),
-        (big_seq, "fused whole-sequence Pallas kernel "
-                  "(time+note+dur levels, hand-written VJP)"),
     ]
     live = [(r, n) for r, n in candidates if r]
     if live:
@@ -487,26 +792,36 @@ def main():
                                     "step_seconds", "step_seconds_hostsync",
                                     "final_loss"),
             "train_b128_bf16_frame_kernel": _row(
-                b128_kernel, "segments_per_sec", "step_seconds"),
-            "train_b128_f32": _row(b128_f32, "segments_per_sec",
+                R.get("b128_kernel"), "segments_per_sec", "step_seconds"),
+            "train_b128_f32": _row(R.get("b128_f32"), "segments_per_sec",
                                    "step_seconds"),
             "train_b4096_bf16_kernel_auto_accum": _row(
-                b4096, "segments_per_sec", "step_seconds", "accum_steps"),
-            "tensorize_segments_per_sec": round(tens_per_sec, 1)
-            if tens_per_sec else None,
+                R.get("b4096"), "segments_per_sec", "step_seconds",
+                "accum_steps"),
+            "tensorize_segments_per_sec": round(R["tens"], 1)
+            if R.get("tens") else None,
             "sample_decode": [
                 {"backend": d["backend"], "batch_size": d["batch_size"],
                  "segments_per_sec": round(d["segments_per_sec"], 2),
-                 "ms_per_batch": round(d["ms_per_batch"], 1)}
+                 "ms_per_batch": round(d["ms_per_batch"], 1),
+                 "rel_spread": d["rel_spread"]}
                 for d in decodes],
-            "kernel_gate": gate,
-            "multichip_cpu_mesh": multichip,
+            "serve_workflows": R.get("serve"),
+            "compile_seconds": _compile_s or None,
+            "kernel_gate": R.get("gate"),
+            "multichip_cpu_mesh": R.get("multichip"),
+            "budget": {"budget_s": BUDGET_S,
+                       "elapsed_s": round(time.monotonic() - _T0, 1),
+                       "skipped_for_budget": _skipped or None,
+                       "warm_marker_matched": warm_at_start},
             "failures": _failures,
             "device": _guard("device_probe", _device_str),
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",
             "timing": {
-                "method": f"median of {REPEATS} synced chains after warmup",
+                "method": f"median of {REPEATS} synced chains after warmup "
+                          "(decode rows: 7 chains, re-measured once if "
+                          "spread > 10%)",
                 "max_rel_spread": round(max(s for _, s in _spreads), 4)
                 if _spreads else None,
                 "worst_section": max(_spreads, key=lambda t: t[1])[0]

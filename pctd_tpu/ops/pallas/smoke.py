@@ -93,11 +93,22 @@ def _compile_train(which: str, batch: int) -> None:
 def run_gate(serve_batches: Iterable[int] = SERVE_BATCHES,
              train_batches: Iterable[int] = TRAIN_BATCHES,
              which: Optional[Iterable[str]] = None,
+             extended: bool = False,
              ) -> Tuple[Dict[str, dict], bool]:
     """AOT-compile every (kernel, batch) combo; never raises.
 
     Returns (results, all_ok) where results[label] = {"ok": bool,
     "seconds": float[, "error": str]}.
+
+    Default matrix = DRIVER-PATH kernels only: the two serving decode
+    backends plus the fused train-frame kernel (in-kernel CE — the headline
+    train config). ``extended=True`` adds the non-default programs — the
+    logits-out ``nofuse`` fallback, the no-grad kernel ``eval`` primal
+    (unused since round 4: Trainer eval runs the XLA path), and the retired
+    ``train_seq`` whole-sequence kernel. Round 3's gate compiled all of
+    them unconditionally and alone cost 1,574 s on a cold cache
+    (BENCH_r03), starving the driver bench — the extras gate nothing the
+    default train/serve paths execute.
     """
     from pctd_tpu.utils.cache import enable_compilation_cache
 
@@ -109,18 +120,18 @@ def run_gate(serve_batches: Iterable[int] = SERVE_BATCHES,
         jobs.append((f"serve_pallas_full_b{b}",
                      functools.partial(_compile_serve, "pallas_full", b)))
     for b in train_batches:
-        # train_frame/train_seq compile with the fused_loss default (the
-        # in-kernel CE); the nofuse variant is the logits-out fallback path
+        # train_frame compiles with the fused_loss default (in-kernel CE)
         jobs.append((f"train_frame_b{b}",
                      functools.partial(_compile_train, "train_frame", b)))
-        jobs.append((f"train_frame_nofuse_b{b}",
-                     functools.partial(
-                         _compile_train, "train_frame:nofuse", b)))
-        jobs.append((f"train_frame_eval_b{b}",
-                     functools.partial(
-                         _compile_train, "train_frame:eval", b)))
-        jobs.append((f"train_seq_b{b}",
-                     functools.partial(_compile_train, "train_seq", b)))
+        if extended:
+            jobs.append((f"train_frame_nofuse_b{b}",
+                         functools.partial(
+                             _compile_train, "train_frame:nofuse", b)))
+            jobs.append((f"train_frame_eval_b{b}",
+                         functools.partial(
+                             _compile_train, "train_frame:eval", b)))
+            jobs.append((f"train_seq_b{b}",
+                         functools.partial(_compile_train, "train_seq", b)))
     if which is not None:
         keep = tuple(which)
         jobs = [(lbl, fn) for lbl, fn in jobs

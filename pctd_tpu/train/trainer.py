@@ -204,7 +204,21 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 def make_eval_step(mcfg: ModelConfig, tcfg: TrainConfig):
     """Validation loss at the current schedule position (the reference's eval
     re-runs the training forward incl. latent sampling under no_grad,
-    module.py:161-177)."""
+    module.py:161-177).
+
+    Eval always runs the XLA nested-scan path even when the train step uses
+    the fused Pallas kernels: the no-grad PRIMAL kernel program is a distinct
+    Mosaic compile (measured 659 s at B=2048 — BENCH_r03) bought for a
+    gradient-free phase that is off the throughput-critical path, while the
+    XLA path compiles in seconds-to-a-minute. The two paths are
+    loss-parity tested (tests/test_train_frame_kernel.py), so val metrics
+    are unchanged up to fp reassociation.
+    """
+    import dataclasses
+
+    if mcfg.train_frame_kernel or mcfg.train_seq_kernel:
+        mcfg = dataclasses.replace(mcfg, train_frame_kernel=False,
+                                   train_seq_kernel=False)
 
     def eval_fn(params, step, key, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)

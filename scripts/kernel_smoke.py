@@ -27,6 +27,9 @@ def main() -> int:
                     help="label prefixes/substrings to keep")
     ap.add_argument("--serve-batches", type=int, nargs="*", default=None)
     ap.add_argument("--train-batches", type=int, nargs="*", default=None)
+    ap.add_argument("--extended", action="store_true",
+                    help="also gate the non-default programs (nofuse "
+                         "fallback, kernel eval primal, retired train_seq)")
     args = ap.parse_args()
 
     from pctd_tpu.ops.pallas import smoke
@@ -39,7 +42,7 @@ def main() -> int:
     results, ok = smoke.run_gate(
         serve_batches=serve if serve is not None else smoke.SERVE_BATCHES,
         train_batches=train if train is not None else smoke.TRAIN_BATCHES,
-        which=args.only)
+        which=args.only, extended=args.extended)
     for label, r in results.items():
         line = f"{label}: {'ok' if r['ok'] else 'FAIL'} ({r['seconds']}s)"
         if not r["ok"]:

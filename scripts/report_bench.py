@@ -42,6 +42,17 @@ def fmt(x, nd=0):
     return f"{x:,.{nd}f}"
 
 
+def _get(d, *keys):
+    """Nested get that returns None on any missing/None hop — bench.py's
+    budget watchdog may have skipped any non-headline section, so every
+    row must tolerate absent data (the artifact degrades, docs follow)."""
+    for k in keys:
+        if not isinstance(d, dict) or d.get(k) is None:
+            return None
+        d = d[k]
+    return d
+
+
 def render_readme_table(b: dict, baseline: dict) -> str:
     e = b["extra"]
     ref_rate = (baseline or {}).get("train_step", {}).get("segments_per_sec")
@@ -51,56 +62,59 @@ def render_readme_table(b: dict, baseline: dict) -> str:
     def speed(v):
         return f"{v / ref_rate:,.0f}×" if ref_rate else "—"
 
-    big = e["throughput_config"]
+    big = e.get("throughput_config")
     mfu = e.get("mfu_bf16_analytic_matmul")
     kernel_note = e.get("throughput_config_note",
                         "fused train-frame Pallas kernel (hand-written VJP)")
     alts = e.get("train_b2048_bf16_alt_kernels") or (
         [e["train_b2048_bf16_alt_kernel"]]
         if e.get("train_b2048_bf16_alt_kernel") else [])
+    xla = _get(e, "train_b2048_bf16_xla_scans", "segments_per_sec")
+    b4096 = _get(e, "train_b4096_bf16_kernel_auto_accum", "segments_per_sec")
+    b128k = _get(e, "train_b128_bf16_frame_kernel", "segments_per_sec")
+    b128 = _get(e, "train_b128_bf16", "segments_per_sec")
+    b128f = _get(e, "train_b128_f32", "segments_per_sec")
+    tens = e.get("tensorize_segments_per_sec")
     rows = [
         (f"train step, bs=2048 bf16, {kernel_note}",
          f"{fmt(ref_rate, 2)} seg/s",
          f"{fmt(big['segments_per_sec'])} seg/s"
          + (f" ({mfu * 100:.0f}% MFU)" if mfu else ""),
-         speed(big["segments_per_sec"])),
+         speed(big["segments_per_sec"])) if big else None,
         *[(f"train step, bs=2048 bf16, {alt['which']}",
            f"{fmt(ref_rate, 2)} seg/s",
            f"{fmt(alt['segments_per_sec'])} seg/s",
            speed(alt["segments_per_sec"])) for alt in alts],
         ("train step, bs=2048 bf16, XLA scans + frame remat",
-         f"{fmt(ref_rate, 2)} seg/s",
-         f"{fmt(e['train_b2048_bf16_xla_scans']['segments_per_sec'])} seg/s",
-         speed(e["train_b2048_bf16_xla_scans"]["segments_per_sec"])),
+         f"{fmt(ref_rate, 2)} seg/s", f"{fmt(xla)} seg/s", speed(xla))
+        if xla else None,
         ("train step, bs=4096 bf16 (auto grad accumulation ×2)",
-         f"{fmt(ref_rate, 2)} seg/s",
-         f"{fmt(e['train_b4096_bf16_kernel_auto_accum']['segments_per_sec'])}"
-         " seg/s",
-         speed(e["train_b4096_bf16_kernel_auto_accum"]["segments_per_sec"]))
-        if "train_b4096_bf16_kernel_auto_accum" in e else None,
+         f"{fmt(ref_rate, 2)} seg/s", f"{fmt(b4096)} seg/s", speed(b4096))
+        if b4096 else None,
         ("train step, canonical config, bs=128",
          f"{fmt(ref_rate, 2)} seg/s",
-         f"{fmt(e['train_b128_bf16_frame_kernel']['segments_per_sec'])} "
-         f"(bf16 + kernel) / {fmt(e['train_b128_bf16']['segments_per_sec'])} "
-         f"(bf16) / {fmt(e['train_b128_f32']['segments_per_sec'])} (f32) "
-         "seg/s",
-         speed(e["train_b128_bf16_frame_kernel"]["segments_per_sec"])),
+         f"{fmt(b128k)} (bf16 + kernel) / {fmt(b128)} (bf16) / "
+         f"{fmt(b128f)} (f32) seg/s",
+         speed(b128k)) if b128k and b128 and b128f else None,
         ("tensorization (full pipeline)",
          f"{fmt(ref_tens)} /s",
-         f"{fmt(e['tensorize_segments_per_sec'])} /s on device",
-         f"{e['tensorize_segments_per_sec'] / ref_tens:,.0f}×"
-         if ref_tens else "—"),
+         f"{fmt(tens)} /s on device",
+         f"{tens / ref_tens:,.0f}×" if ref_tens else "—")
+        if tens else None,
     ]
     # one row per batch size; compare backends only within a batch size
     # (bench.py emits several backends at the reference bs=128 plus
     # scaling points at other batch sizes — ms across batches isn't
     # comparable)
     by_bs = {}
-    for d in e.get("sample_decode", []):
+    for d in e.get("sample_decode") or []:
         by_bs.setdefault(d["batch_size"], []).append(d)
+    worst_decode_spread = 0.0
     for bs in sorted(by_bs):
         group = sorted(by_bs[bs], key=lambda d: d["ms_per_batch"])
         best = group[0]
+        worst_decode_spread = max(worst_decode_spread,
+                                  *(d.get("rel_spread") or 0 for d in group))
         detail = " / ".join(
             f"{d['ms_per_batch']:.1f} ms ({d['backend']})" for d in group)
         rows.append(
@@ -108,36 +122,72 @@ def render_readme_table(b: dict, baseline: dict) -> str:
              "—",
              f"{fmt(best['segments_per_sec'])} seg/s — {detail}",
              "—"))
+    serve = e.get("serve_workflows")
+    if serve:
+        ops = [k for k in ("style_transfer", "variation", "prior", "interp")
+               if isinstance(serve.get(k), dict)]
+        if ops:
+            detail = " / ".join(f"{serve[op]['p50_ms']:.0f} ms ({op})"
+                                for op in ops)
+            rows.append(
+                (f"serving daemon, end-to-end MIDI→MIDI p50 "
+                 f"(fixed_batch={serve.get('fixed_batch')}, "
+                 f"{serve.get('backend')})",
+                 "—", detail, "—"))
     lines = ["| metric | reference (torch, host CPU) | pctd_tpu | speedup |",
              "|---|---|---|---|"]
     for r in rows:
         if r is not None:
             lines.append("| " + " | ".join(r) + " |")
     timing = e.get("timing", {})
+    skipped = _get(e, "budget", "skipped_for_budget")
+    max_spread = timing.get("max_rel_spread") or 0
+    if max_spread > 1.5:      # pre-round-4 artifacts stored percent
+        max_spread /= 100.0
     note = (f"\n(Table generated by `scripts/report_bench.py` from the bench "
             f"artifact — {timing.get('method', 'single run')}; max section "
-            f"spread {timing.get('max_rel_spread', 0) * 100:.1f}%"
+            f"spread {max_spread * 100:.1f}%"
+            + (f", worst decode-row spread {worst_decode_spread * 100:.1f}%"
+               if by_bs else "")
             + (", CONTENDED RUN" if timing.get("contended") else "")
+            + (f"; sections skipped for wall-clock budget: "
+               f"{', '.join(skipped)}" if skipped else "")
             + f". Device: {e.get('device', '?')}.)")
     return "\n".join(lines) + note
 
 
 def render_arch_block(b: dict) -> str:
     e = b["extra"]
-    big = e["throughput_config"]
-    lines = [
-        "```",
-        f"headline : {b['value']:,.0f} seg/s/chip  ({b['unit']})",
-        f"step     : {big['step_seconds'] * 1e3:.1f} ms "
-        f"(hostsync {big['step_seconds_hostsync'] * 1e3:.1f} ms)",
-        f"MFU      : {e.get('mfu_bf16_analytic_matmul', 0) * 100:.1f}% "
-        "(analytic matmul FLOPs vs bf16 peak)",
-        f"tensorize: {e['tensorize_segments_per_sec']:,.0f} seg/s",
-    ]
-    for d in e.get("sample_decode", []):
+    big = e.get("throughput_config") or {}
+    lines = ["```"]
+    if b.get("value") is not None:
+        lines.append(f"headline : {b['value']:,.0f} seg/s/chip  "
+                     f"({b['unit']})")
+    if big.get("step_seconds") is not None:
+        step = f"step     : {big['step_seconds'] * 1e3:.1f} ms"
+        if big.get("step_seconds_hostsync") is not None:
+            step += f" (hostsync {big['step_seconds_hostsync'] * 1e3:.1f} ms)"
+        lines.append(step)
+    if e.get("mfu_bf16_analytic_matmul") is not None:
+        lines.append(f"MFU      : {e['mfu_bf16_analytic_matmul'] * 100:.1f}%"
+                     " (analytic matmul FLOPs vs bf16 peak)")
+    if e.get("tensorize_segments_per_sec") is not None:
+        lines.append(f"tensorize: {e['tensorize_segments_per_sec']:,.0f} "
+                     "seg/s")
+    for d in e.get("sample_decode") or []:
         lines.append(f"decode   : {d['backend']:<12s} B={d['batch_size']} "
                      f"{d['ms_per_batch']:.1f} ms/batch "
-                     f"({d['segments_per_sec']:,.0f} seg/s)")
+                     f"({d['segments_per_sec']:,.0f} seg/s, "
+                     f"spread {(d.get('rel_spread') or 0) * 100:.0f}%)")
+    serve = e.get("serve_workflows") or {}
+    for op in ("style_transfer", "variation", "prior", "interp"):
+        if isinstance(serve.get(op), dict):
+            lines.append(f"serve    : {op:<14s} p50 "
+                         f"{serve[op]['p50_ms']:.0f} ms end-to-end "
+                         f"({serve[op]['windows']} windows)")
+    for label, secs in sorted((e.get("compile_seconds") or {}).items()):
+        lines.append(f"compile  : {label:<28s} {secs:.0f} s (first call, "
+                     "cold cache)")
     lines.append("```")
     return "\n".join(lines)
 

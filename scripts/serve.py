@@ -192,6 +192,14 @@ def main():
                     help="shard request batches over all visible devices")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (CI smoke, untrained)")
+    ap.add_argument("--aot-dir", default=None,
+                    help="directory of *.jaxexe AOT bundles: preload "
+                         "compiled serving executables (seconds) instead of "
+                         "compiling on first request (100-660 s cold)")
+    ap.add_argument("--export-aot", default=None, metavar="DIR",
+                    help="compile the serving programs for --fixed-batch, "
+                         "serialize them to DIR, print a report, and exit "
+                         "(run once per deploy; serve with --aot-dir DIR)")
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. 'cpu'; needed because "
                          "the axon TPU plugin ignores JAX_PLATFORMS set via "
@@ -225,10 +233,16 @@ def main():
         from pctd_tpu.parallel import make_mesh
         mesh = make_mesh()
     sampler = Sampler(model.params, cfg, frame_decoder=args.frame_decoder,
-                      mesh=mesh, fixed_batch=args.fixed_batch)
+                      mesh=mesh, fixed_batch=args.fixed_batch,
+                      aot_dir=args.aot_dir)
+    if args.export_aot:
+        report = sampler.export_aot(args.export_aot)
+        print(json.dumps({"exported_aot": report}), flush=True)
+        return
     server = Server(sampler, cfg.pianotree, args.max_windows, cfg=cfg)
     print(json.dumps({"ready": True, "fixed_batch": args.fixed_batch,
-                      "devices": jax.device_count() if mesh else 1}),
+                      "devices": jax.device_count() if mesh else 1,
+                      "aot": sampler.aot_report}),
           flush=True)
 
     for line in sys.stdin:

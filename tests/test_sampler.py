@@ -193,6 +193,85 @@ def test_sampler_explicit_backend_failure_raises():
         s.decode(zc, zr)
 
 
+@pytest.mark.slow  # compiles encode+decode once for the export
+def test_sampler_aot_export_preload_roundtrip(tmp_path):
+    """export_aot serializes the compiled serving executables; a fresh
+    sampler with aot_dir= preloads them (no recompile: the executable cache
+    is populated before the first decode) and produces identical outputs.
+
+    Runs with the persistent compilation cache ENABLED (as any serving
+    process has it): serializing a cache-LOADED executable produces a bundle
+    that fails at dispatch ("Function ... not found"), so export_aot must
+    compile fresh with the cache bypassed — this test is order-independent
+    regression cover for exactly that."""
+    from pctd_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    src = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4)
+    report = src.export_aot(str(tmp_path))
+    assert {e["kind"] for e in report["exported"]} == {"decode", "encode"}
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["decode_xla_b4.jaxexe", "encode_b4.jaxexe"]
+
+    dst = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4,
+                  aot_dir=str(tmp_path))
+    kinds = sorted(e["kind"] for e in dst.aot_report["loaded"])
+    assert kinds == ["decode", "encode"]
+    assert dst.aot_report["skipped"] == []
+    assert ("xla", 4) in dst._compiled      # decode preloaded, not compiled
+    assert 4 in dst._encode_aot
+
+    x, c, pr_mat = random_batch(3, seed=90)
+    np.testing.assert_array_equal(src.reconstruct(pr_mat, c),
+                                  dst.reconstruct(pr_mat, c))
+
+    # a real bundle relabeled to a backend outside the chain is rejected at
+    # the chain check (recorded), not loaded into the decode cache
+    import pickle
+    alien_dir = tmp_path / "alien"
+    alien_dir.mkdir()
+    with open(tmp_path / "decode_xla_b4.jaxexe", "rb") as f:
+        bundle = pickle.load(f)
+    bundle["meta"]["backend"] = "pallas_full"
+    with open(alien_dir / "decode_pallas_full_b4.jaxexe", "wb") as f:
+        pickle.dump(bundle, f)
+    s2 = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4,
+                 aot_dir=str(alien_dir))
+    assert s2.aot_report["loaded"] == []
+    assert "not in this sampler's chain" in s2.aot_report["skipped"][0][1]
+
+
+def test_sampler_aot_incompatible_bundles_skipped(tmp_path):
+    """Runtime-mismatched and corrupt bundles must be SKIPPED with a recorded
+    reason (preloading degrades to compilation; it never takes the daemon
+    down)."""
+    import pickle
+
+    from pctd_tpu.utils import aot
+
+    meta = aot.runtime_meta()
+    stale = dict(meta, jax_version="0.0.0", kind="decode", backend="xla",
+                 batch=4)
+    with open(tmp_path / "stale.jaxexe", "wb") as f:
+        pickle.dump({"meta": stale, "payload": (b"", None, None)}, f)
+    (tmp_path / "corrupt.jaxexe").write_bytes(b"not a pickle")
+
+    params = dv.init_params(jax.random.PRNGKey(0), SMALL)
+    with pytest.warns(UserWarning, match="unreadable"):
+        s = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4,
+                    aot_dir=str(tmp_path))
+    assert s.aot_report["loaded"] == []
+    reasons = " ".join(r for _, r in s.aot_report["skipped"])
+    assert "jax_version" in reasons          # stale runtime
+    assert len(s.aot_report["skipped"]) == 2  # + the corrupt file
+    # and the sampler still serves via normal compilation
+    zc = np.zeros((2, SMALL.chd_z_dim), np.float32)
+    zr = np.zeros((2, SMALL.txt_z_dim), np.float32)
+    est = s.decode(zc, zr)
+    assert est.shape == (2, 32, SMALL.pianotree.max_simu_note - 1, 6)
+
+
 def test_sampler_runtime_error_reraises_without_degrade():
     """An EXECUTION-time failure (device OOM mid-serving, interrupt) must
     re-raise, not permanently downgrade the serving backend (ADVICE r3:
