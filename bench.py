@@ -437,12 +437,15 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
     z_rhy = jax.random.normal(jax.random.PRNGKey(2),
                               (batch_size, mcfg.txt_z_dim))
     decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder=backend))
+    add = jax.jit(lambda a, e: a + e.sum())
     t_compile = time.perf_counter()
     est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
-    float(est[0, 0, 0, 0])
+    # sync via an on-device reduction — NEVER index/fetch the raw grid: it
+    # carries the Mosaic tiled layout and de-tiles at ~4 KB/s through the
+    # transfer path (minutes per sync; pctd_tpu/utils/host.py)
+    float(add(jnp.zeros((), jnp.int32), est))
     _compile_s[f"decode_{backend}_b{batch_size}"] = round(
         time.perf_counter() - t_compile, 1)
-    add = jax.jit(lambda a, e: a + e.sum())
 
     def chain():
         acc = jnp.zeros((), jnp.int32)

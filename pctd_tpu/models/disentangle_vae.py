@@ -26,6 +26,7 @@ import numpy as np
 
 from pctd_tpu.config import ModelConfig
 from pctd_tpu.models import chord_decoder as chd_dec
+from pctd_tpu.utils import host
 from pctd_tpu.models import chord_encoder as chd_enc
 from pctd_tpu.models import pianotree_decoder as pt_dec
 from pctd_tpu.models import texture_encoder as txt_enc
@@ -280,7 +281,7 @@ def prior_sample(params: dict, cfg: ModelConfig, key: jax.Array, pr_mat, c,
 
 def gt_sample(x: jnp.ndarray) -> np.ndarray:
     """Ground-truth grid sans sos slot (reference model.py:186-188)."""
-    return np.asarray(x[:, :, 1:])
+    return host.fetch_np(jnp.asarray(x)[:, :, 1:])
 
 
 def interp_path(z1: np.ndarray, z2: np.ndarray, int_count: int = 10
@@ -328,8 +329,10 @@ def interp(params: dict, cfg: ModelConfig, pr_mat1, c1, pr_mat2, c2,
                    jnp.asarray(z_chds.reshape(B * int_count, -1)),
                    jnp.asarray(z_rhys.reshape(B * int_count, -1)))
     K1 = cfg.pianotree.max_simu_note - 1
-    return np.asarray(est).reshape(B, int_count, cfg.pianotree.num_step,
-                                   K1, 6)
+    # host.fetch_np: decode grids carry the Mosaic tiled layout; direct
+    # np.asarray de-tiles at ~4 KB/s through the transfer path (host.py)
+    return host.fetch_np(est).reshape(B, int_count, cfg.pianotree.num_step,
+                                      K1, 6)
 
 
 # ---------------------------------------------------------------------------

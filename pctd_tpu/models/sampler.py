@@ -24,6 +24,7 @@ import numpy as np
 
 from pctd_tpu.config import ModelConfig
 from pctd_tpu.models import disentangle_vae as dv
+from pctd_tpu.utils import host
 
 
 #: ``frame_decoder="auto"`` tries these in order, degrading to the next on a
@@ -228,8 +229,11 @@ class Sampler:
     def decode(self, z_chd, z_rhy) -> np.ndarray:
         z_chd, z_rhy = jnp.asarray(z_chd), jnp.asarray(z_rhy)
         self._check_batch(z_chd.shape[0])
-        return np.asarray(self._chunked(self._decode_degrading,
-                                        z_chd, z_rhy))
+        # host.fetch_np: the Pallas decode grid carries the Mosaic custom
+        # call's tiled layout; a direct np.asarray de-tiles through the
+        # transfer path at ~4 KB/s (minutes per grid — utils/host.py)
+        return host.fetch_np(self._chunked(self._decode_degrading,
+                                           z_chd, z_rhy))
 
     def reconstruct(self, pr_mat, c, sample: bool = False,
                     key: Optional[jax.Array] = None) -> np.ndarray:

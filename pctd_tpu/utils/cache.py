@@ -22,6 +22,17 @@ def enable_compilation_cache(path: str | None = None) -> str:
     if plat:
         jax.config.update("jax_platforms", plat)
 
+    # Pallas programs NEVER hit the persistent cache while this is on (the
+    # default): the embedded Python tracebacks ride inside the Mosaic
+    # custom-call's serialized bytecode, which the cache key cannot
+    # normalize the way it strips HLO location metadata — so two lowerings
+    # of the SAME kernel get different keys (measured: byte-identical
+    # programs recompiled 126 s + 101 s back-to-back in one process; with
+    # the flag off the lowerings are byte-identical and the second compile
+    # is a cache hit). XLA-only programs were never affected. Single-frame
+    # file:line locations remain in compiler diagnostics.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
+
     path = path or os.environ.get(
         "PCTD_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

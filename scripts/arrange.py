@@ -97,8 +97,10 @@ def main():
         idx = np.minimum(np.arange(n_win), n_given - 1)
         z_rhy = z_given[idx]
 
-    grids = dv.decode_z(model.params, cfg, z_chd, jnp.asarray(z_rhy))
-    acc_segments = [dm.grid_to_pr_and_notes(np.asarray(g), bpm=bpm,
+    from pctd_tpu.utils import host
+    grids = host.fetch_np(
+        dv.decode_z(model.params, cfg, z_chd, jnp.asarray(z_rhy)))
+    acc_segments = [dm.grid_to_pr_and_notes(g, bpm=bpm,
                                             spec=spec)[1] for g in grids]
     # the given opening windows keep their ORIGINAL accompaniment
     from pctd_tpu.data.converter import pr_to_onehot_pr, piano_roll_to_target

@@ -109,8 +109,9 @@ def main():
                      * args.scale)
         z_chd = dist_chd.mean if args.texture_from or args.samples == 1 \
             else dist_chd.rsample(k1)
-        grids = dv.decode_z(model.params, cfg, z_chd, z_rhy)
-        notes = [dm.grid_to_pr_and_notes(np.asarray(g), bpm=args.bpm,
+        from pctd_tpu.utils import host
+        grids = host.fetch_np(dv.decode_z(model.params, cfg, z_chd, z_rhy))
+        notes = [dm.grid_to_pr_and_notes(g, bpm=args.bpm,
                                          spec=spec)[1] for g in grids]
         tracks.append(notes)
         names.append(f"sample_{s}" if args.samples > 1 else "generated")
