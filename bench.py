@@ -75,6 +75,77 @@ class _BenchTimeout(BaseException):
     (which catch Exception) cannot swallow it."""
 
 
+# Shared artifact state: the watchdog thread and the normal main() tail both
+# print from these, single-shot.
+import threading  # noqa: E402
+
+_PRINTED = threading.Event()
+_R = {"decodes": []}
+_baseline_g = None
+_warm_at_start = False
+_device_info = None     # set by the preflight liveness probe
+
+
+def _probe_device_alive(timeout_s: float = 240.0) -> bool:
+    """Run a trivial device op in a SUBPROCESS with a hard timeout.
+
+    Rationale (round 4, measured): when the TPU runtime behind the tunnel
+    wedges, jax.devices()/the first dispatch blocks forever inside C++ where
+    SIGALRM cannot raise — the r3 driver run died exactly like this (rc=124,
+    no JSON). A subprocess can always be killed, so the probe converts "hang
+    forever" into "known-dead in <= timeout_s", and the bench then reports a
+    parseable artifact with the outage recorded instead of timing out."""
+    global _device_info
+    import subprocess
+    code = ("import jax, jax.numpy as jnp\n"
+            "v = float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())\n"
+            "assert v == 512.0, v\n"
+            "print('DEVICE_OK', jax.devices()[0])\n")
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        _emit_progress("device_probe", {
+            "ok": False, "seconds": round(time.perf_counter() - t0, 1),
+            "error": f"device unreachable: trivial op did not complete in "
+                     f"{timeout_s:.0f}s (tunnel/runtime wedged)"})
+        return False
+    out = proc.stdout.strip().splitlines()
+    ok = proc.returncode == 0 and any("DEVICE_OK" in ln for ln in out)
+    if ok:
+        _device_info = next(ln.split("DEVICE_OK ", 1)[1]
+                            for ln in out if "DEVICE_OK" in ln)
+    _emit_progress("device_probe", {
+        "ok": ok, "seconds": round(time.perf_counter() - t0, 1),
+        **({} if ok else {"error": f"probe rc={proc.returncode}: "
+                          f"{proc.stderr[-300:]}"})})
+    return ok
+
+
+def _start_watchdog():
+    """Daemon thread that force-prints the artifact and exits 0 when the
+    deadline passes — the backstop behind the SIGALRM backstop, for the case
+    where the main thread is blocked in an uninterruptible device wait."""
+    deadline = BUDGET_S + 90.0
+
+    def run():
+        while True:
+            time.sleep(5)
+            if time.monotonic() - _T0 > deadline:
+                print("[bench] WATCHDOG: deadline passed with main thread "
+                      "unresponsive — force-printing best-known artifact",
+                      file=sys.stderr, flush=True)
+                try:
+                    _print_artifact()
+                finally:
+                    sys.stdout.flush()
+                    os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
+
 def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
@@ -629,17 +700,21 @@ def _bench_multichip_cpu_mesh():
 
 
 def main():
-    baseline = None
+    global _baseline_g, _warm_at_start
     bpath = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(bpath):
         with open(bpath) as f:
-            baseline = json.load(f)
+            _baseline_g = json.load(f)
 
     _warm.update(_load_warm_marker())
-    warm_at_start = bool(_warm)
+    _warm_at_start = bool(_warm)
     if _warm:
         print(f"[bench] warm marker matches source fingerprint "
               f"({len(_warm)} tuned sections)", file=sys.stderr, flush=True)
+
+    _start_watchdog()
+    device_ok = _probe_device_alive(
+        float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
 
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -651,9 +726,21 @@ def main():
         signal.alarm(int(BUDGET_S + 60))
 
     # results land here as sections complete; the final print reads ONLY
-    # this dict, so an aborted measurement phase still reports everything
-    # measured so far.
-    R = {"decodes": []}
+    # this shared dict, so an aborted measurement phase (or the watchdog)
+    # still reports everything measured so far.
+    R = _R
+
+    if not device_ok:
+        # the device is wedged/unreachable: running any TPU section would
+        # hang forever. Record the outage, still run the CPU-mesh smoke
+        # (own subprocess device pool), and print a parseable artifact.
+        _failures.append({"section": "device_probe",
+                          "error": "TPU unreachable at bench start — all "
+                          "device sections skipped; see device_probe"})
+        R["multichip"] = _section("multichip_cpu_mesh",
+                                  _bench_multichip_cpu_mesh)
+        _print_artifact()
+        return
 
     def measure():
         # 1) the headline: bf16 B=2048, fused train-frame Pallas kernel with
@@ -723,10 +810,26 @@ def main():
         if hasattr(signal, "SIGALRM"):
             signal.alarm(0)
 
+    _print_artifact()
+
+
+def _print_artifact():
+    """Print the ONE JSON artifact line from whatever state the shared
+    section dict holds. Idempotent (thread-safe single shot): called by the
+    normal main() tail, by the watchdog thread when the main thread is
+    wedged inside an uninterruptible device wait, and by the top-level
+    fallback — whichever fires first wins."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    R = _R
+    baseline = _baseline_g
+    warm_at_start = _warm_at_start
+
     big, big_xla, big_nofuse = (R.get("big"), R.get("big_xla"),
                                 R.get("big_nofuse"))
     b128_bf16 = R.get("b128_bf16")
-    decodes = R["decodes"]
+    decodes = R.get("decodes") or []
 
     # headline selection with fallbacks: best verified kernel config, else
     # XLA path, else the canonical B=128 config — the artifact degrades, it
@@ -818,7 +921,10 @@ def main():
                        "skipped_for_budget": _skipped or None,
                        "warm_marker_matched": warm_at_start},
             "failures": _failures,
-            "device": _guard("device_probe", _device_str),
+            # never call into jax here: when the watchdog prints this from
+            # its own thread the device runtime may be the very thing that
+            # is wedged — use the preflight probe's recorded answer.
+            "device": _device_info,
             "baseline_source": "BASELINE_MEASURED.json (torch reference on "
                                "this host CPU)",
             "timing": {
@@ -836,24 +942,20 @@ def main():
     }))
 
 
-def _device_str():
-    import jax
-
-    return str(jax.devices()[0])
-
-
 if __name__ == "__main__":
     try:
         main()
     except BaseException as e:  # noqa: BLE001 — the artifact must never null
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
-            "metric": "train_segments_per_sec_per_chip",
-            "value": None,
-            "unit": "2-bar segments/sec/chip",
-            "vs_baseline": None,
-            "extra": {"fatal": f"{type(e).__name__}: {str(e)[:300]}",
-                      "failures": _failures,
-                      "progress": _progress},
-        }))
+        if not _PRINTED.is_set():
+            _PRINTED.set()
+            print(json.dumps({
+                "metric": "train_segments_per_sec_per_chip",
+                "value": None,
+                "unit": "2-bar segments/sec/chip",
+                "vs_baseline": None,
+                "extra": {"fatal": f"{type(e).__name__}: {str(e)[:300]}",
+                          "failures": _failures,
+                          "progress": _progress},
+            }))
         raise SystemExit(0)
