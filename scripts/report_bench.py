@@ -215,6 +215,12 @@ def main():
     args = ap.parse_args()
 
     b = load_bench(args.bench)
+    if b.get("value") is None:
+        # a device-outage/fatal artifact has no headline — refuse to
+        # overwrite the last good published tables with an empty one
+        print("bench artifact has no headline (value null) — docs left "
+              "untouched", file=sys.stderr)
+        sys.exit(1)
     baseline = None
     bp = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(bp):
