@@ -15,27 +15,38 @@ analytic MFU estimate.
 ``vs_baseline`` is the ratio against the measured PyTorch reference on this
 host (BASELINE_MEASURED.json; the reference publishes no numbers).
 
-Wall-clock discipline (VERDICT r3 item 1): rounds 2 and 3 both failed to
-land a driver-verified number — r2 to an unguarded crash, r3 to the driver's
-timeout after 1,574 s of cold-cache kernel-gate compiles. This file now
-enforces a BUDGET:
+Cold-start discipline (VERDICT r4 item 1): rounds 2-4 all lost sections to
+cold-cache compiles — r4's driver run paid 1,184 s compiling the headline
+and skipped 15 of 16 sections. The fix is to make a cold run impossible:
+committed AOT bundles (``aot_bundles/*.jaxexe``, exported by
+``scripts/export_aot.py``) hold the fully-compiled executables for every
+compile-heavy program in the default matrix; the bench preloads each
+compatible bundle (same jax version / platform / device kind / device count
+/ package-source fingerprint) and falls back to normal compilation on any
+mismatch. With bundles, per-section compile_seconds are single-digit and
+the whole default matrix fits the budget from a fresh checkout.
+
+Wall-clock discipline (VERDICT r3 item 1) remains as the backstop:
 
 - ``BENCH_BUDGET_S`` (env, default 1380 s = 23 min) is a hard deadline.
   Sections run in PRIORITY order (headline train throughput first, the gate
   and decode matrix after, optional extras last); before each section its
   estimated cost is checked against the remaining budget and the section is
   SKIPPED (recorded, never silent) when it cannot fit.
-- Estimates self-tune: a successful section writes its actual seconds into
-  ``.jax_cache/bench_warm.json`` keyed by a fingerprint of the package
-  sources; while the fingerprint matches (= the persistent compile cache is
-  still valid) the recorded time is the estimate, so a warm re-run schedules
-  everything and a cold run schedules what fits.
-- ``signal.alarm`` backstop at budget+60 s: if a section overruns its
-  estimate the alarm aborts the measurement phase and the best-known
-  headline JSON still prints, exit 0. (A single in-flight XLA/Mosaic compile
-  cannot be preempted by a Python signal — the budget's 7-minute margin
-  against the driver's wall clock absorbs the worst single compile in the
-  default matrix, ~190 s.)
+- Estimates: worst-case-observed cold costs (see _COLD_EST — single
+  compiles of 1,265 s and 2,123 s were recorded in round 4), overridden by
+  run-only estimates for AOT-covered sections, overridden by the self-tuned
+  warm marker — which is accepted only while the package-source fingerprint
+  matches AND every compiled program it recorded still exists in the cache
+  dir (a wiped cache can no longer masquerade as warm).
+- ``signal.alarm`` backstop at budget+60 s aborts the measurement phase and
+  prints the best-known artifact; a watchdog thread force-prints and exits
+  0 at budget+240 s if the main thread is wedged in an uninterruptible
+  device wait (a single in-flight XLA/Mosaic compile cannot be preempted by
+  a Python signal — with AOT bundles the default matrix has no such compile
+  left, and without them the worst observed single compile, ~2,100 s, is
+  longer than any margin: the scheduler's worst-case estimates keep it from
+  being attempted when it cannot fit).
 
 The artifact degrades; it never nulls and never times out.
 """
@@ -79,7 +90,8 @@ class _BenchTimeout(BaseException):
 # print from these, single-shot.
 import threading  # noqa: E402
 
-_PRINTED = threading.Event()
+_PRINT_LOCK = threading.Lock()   # guards _PRINTED: check-then-print is atomic
+_PRINTED = [False]               # set True only AFTER a successful print
 _R = {"decodes": []}
 _baseline_g = None
 _warm_at_start = False
@@ -94,13 +106,20 @@ def _probe_device_alive(timeout_s: float = 240.0) -> bool:
     SIGALRM cannot raise — the r3 driver run died exactly like this (rc=124,
     no JSON). A subprocess can always be killed, so the probe converts "hang
     forever" into "known-dead in <= timeout_s", and the bench then reports a
-    parseable artifact with the outage recorded instead of timing out."""
+    parseable artifact with the outage recorded instead of timing out.
+
+    A silent CPU fallback is NOT ok (ADVICE r4): if TPU init fails fast, jax
+    falls back to host CPU and every "TPU" section would run (and publish
+    per-chip numbers) on CPU. The probe reports the platform and the bench
+    requires a non-CPU device unless the caller explicitly exported
+    JAX_PLATFORMS=cpu (deliberate CPU benchmarking)."""
     global _device_info
     import subprocess
     code = ("import jax, jax.numpy as jnp\n"
             "v = float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())\n"
             "assert v == 512.0, v\n"
-            "print('DEVICE_OK', jax.devices()[0])\n")
+            "d = jax.devices()[0]\n"
+            "print('DEVICE_OK', d.platform, '|', d)\n")
     t0 = time.perf_counter()
     try:
         proc = subprocess.run([sys.executable, "-c", code],
@@ -114,11 +133,25 @@ def _probe_device_alive(timeout_s: float = 240.0) -> bool:
         return False
     out = proc.stdout.strip().splitlines()
     ok = proc.returncode == 0 and any("DEVICE_OK" in ln for ln in out)
+    platform = None
     if ok:
-        _device_info = next(ln.split("DEVICE_OK ", 1)[1]
-                            for ln in out if "DEVICE_OK" in ln)
+        rest = next(ln.split("DEVICE_OK ", 1)[1]
+                    for ln in out if "DEVICE_OK" in ln)
+        platform, _, info = rest.partition("|")
+        platform, _device_info = platform.strip(), info.strip()
+        cpu_requested = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+        if platform == "cpu" and not cpu_requested:
+            _emit_progress("device_probe", {
+                "ok": False, "seconds": round(time.perf_counter() - t0, 1),
+                "platform": platform,
+                "error": "TPU init failed and jax silently fell back to "
+                         "host CPU — refusing to publish CPU-measured "
+                         "numbers as per-chip TPU results (set "
+                         "JAX_PLATFORMS=cpu to benchmark CPU on purpose)"})
+            return False
     _emit_progress("device_probe", {
         "ok": ok, "seconds": round(time.perf_counter() - t0, 1),
+        "platform": platform,
         **({} if ok else {"error": f"probe rc={proc.returncode}: "
                           f"{proc.stderr[-300:]}"})})
     return ok
@@ -127,18 +160,38 @@ def _probe_device_alive(timeout_s: float = 240.0) -> bool:
 def _start_watchdog():
     """Daemon thread that force-prints the artifact and exits 0 when the
     deadline passes — the backstop behind the SIGALRM backstop, for the case
-    where the main thread is blocked in an uninterruptible device wait."""
-    deadline = BUDGET_S + 90.0
+    where the main thread is blocked in an uninterruptible device wait.
+
+    Margin (+240 s past budget): the SIGALRM fires at budget+60; a main
+    thread that has not printed by budget+240 is either wedged in a C++
+    device wait or stuck in a single pathological compile — in both cases
+    the in-flight section is lost and the best-known artifact is what the
+    driver gets. With AOT bundles preloaded the default matrix has no
+    multi-minute compiles left, so a healthy run never reaches this."""
+    deadline = BUDGET_S + 240.0
 
     def run():
         while True:
             time.sleep(5)
             if time.monotonic() - _T0 > deadline:
-                print("[bench] WATCHDOG: deadline passed with main thread "
-                      "unresponsive — force-printing best-known artifact",
+                print("[bench] WATCHDOG: no artifact by budget+240s (main "
+                      "thread wedged in a device wait or a pathological "
+                      "compile) — force-printing best-known artifact",
                       file=sys.stderr, flush=True)
                 try:
                     _print_artifact()
+                except BaseException:  # noqa: BLE001 — emit SOMETHING
+                    traceback.print_exc(file=sys.stderr)
+                    with _PRINT_LOCK:
+                        if not _PRINTED[0]:
+                            print(json.dumps({
+                                "metric": "train_segments_per_sec_per_chip",
+                                "value": None,
+                                "unit": "2-bar segments/sec/chip",
+                                "vs_baseline": None,
+                                "extra": {"fatal": "watchdog artifact "
+                                          "serialization failed"}}))
+                            _PRINTED[0] = True
                 finally:
                     sys.stdout.flush()
                     os._exit(0)
@@ -190,29 +243,154 @@ def _guard(label: str, fn, *args, **kwargs):
 
 
 # ---------------------------------------------------------------------------
-# Budget scheduling: per-section cold-cache cost estimates (seconds, from the
-# BENCH_r03 gate log + round-3 builder runs), overridden by the self-tuned
-# warm marker when the package-source fingerprint still matches.
+# Budget scheduling: per-section cold-cache cost estimates — WORST CASE
+# OBSERVED across rounds 3-4 (not best-case history: VERDICT r4 item 2 —
+# the driver's cold r04 run measured 1,265 s for the headline against an
+# estimated 280, and the r04 gate recorded a 2,123 s serve_pallas_b512
+# Mosaic compile against 115-124 s siblings). Overridden, in order, by:
+#  1. the AOT bundle preload (committed *.jaxexe executables make a
+#     section's compiles single-digit seconds — see _AOT_COVERED), and
+#  2. the self-tuned warm marker, accepted only while the package-source
+#     fingerprint matches AND every compiled-program file the marker
+#     recorded is still present in the cache dir (a wiped cache can no
+#     longer masquerade as warm).
 # ---------------------------------------------------------------------------
 
 _COLD_EST = {
-    "train_b2048_frame_kernel": 280.0,
+    "train_b2048_frame_kernel": 1300.0,   # driver r04 observed 1265 s cold
     "tensorize": 90.0,
     "train_b128_bf16": 220.0,
-    "kernel_gate": 520.0,
-    "decode_pallas_b128": 160.0,
-    "decode_pallas_full_b128": 170.0,
-    "decode_xla_b128": 130.0,
-    "decode_pallas_b512": 160.0,
-    "decode_pallas_full_b512": 170.0,
-    "serve_workflows": 220.0,
-    "train_b128_frame_kernel": 170.0,
-    "train_b128_f32": 220.0,
-    "train_b4096_auto_accum": 320.0,
-    "train_b2048_xla": 420.0,
-    "train_b2048_frame_kernel_nofuse": 280.0,
+    "kernel_gate": 2400.0,    # r04 observed: 2123 s b512 outlier + siblings
+    "decode_pallas_b128": 200.0,
+    "decode_pallas_full_b128": 210.0,
+    "decode_xla_b128": 160.0,
+    "decode_pallas_b512": 2200.0,         # r04 gate outlier, until explained
+    "decode_pallas_full_b512": 210.0,
+    "serve_workflows": 260.0,
+    "train_b128_frame_kernel": 200.0,
+    "train_b128_f32": 260.0,
+    "train_b4096_auto_accum": 400.0,
+    "train_b2048_xla": 500.0,
+    "train_b2048_frame_kernel_nofuse": 1300.0,  # same Mosaic size as headline
     "multichip_cpu_mesh": 300.0,
 }
+
+#: run-only estimate when every compiled program a section needs was
+#: preloaded from a committed AOT bundle (measurement + tiny dispatch
+#: overhead; no compiles).
+_AOT_EST = {
+    "train_b2048_frame_kernel": 120.0,
+    "tensorize": 60.0,
+    "train_b128_bf16": 60.0,
+    "kernel_gate": 90.0,
+    "decode_pallas_b128": 60.0,
+    "decode_pallas_full_b128": 60.0,
+    "decode_xla_b128": 60.0,
+    "decode_pallas_b512": 90.0,
+    "decode_pallas_full_b512": 90.0,
+    "serve_workflows": 120.0,
+    "train_b128_frame_kernel": 60.0,
+    "train_b128_f32": 60.0,
+    "train_b4096_auto_accum": 120.0,
+    "train_b2048_xla": 120.0,
+    "train_b2048_frame_kernel_nofuse": 120.0,
+}
+
+_AOT_COVERED = set()    # sections whose programs all preloaded from bundles
+_AOT_VALID = set()      # bundle filenames compatible with this runtime
+AOT_DIR = os.environ.get("PCTD_AOT_DIR", os.path.join(REPO, "aot_bundles"))
+
+#: keyword args of _bench_train_step per train section — shared between the
+#: measurement calls and the AOT-coverage check so they cannot drift.
+_TRAIN_SECTION_KW = {
+    "train_b2048_frame_kernel": dict(
+        batch_size=2048, compute_dtype="bfloat16", remat=True,
+        frame_kernel=True),
+    "train_b128_bf16": dict(compute_dtype="bfloat16"),
+    "train_b128_frame_kernel": dict(
+        compute_dtype="bfloat16", remat=True, frame_kernel=True),
+    "train_b128_f32": dict(compute_dtype="float32"),
+    "train_b4096_auto_accum": dict(
+        batch_size=4096, compute_dtype="bfloat16", remat=True,
+        frame_kernel=True),
+    "train_b2048_xla": dict(
+        batch_size=2048, compute_dtype="bfloat16", remat=True,
+        unroll_dur=5),
+    "train_b2048_frame_kernel_nofuse": dict(
+        batch_size=2048, compute_dtype="bfloat16", remat=True,
+        frame_kernel=True, fused=False),
+}
+
+_TENSORIZE_BATCH = 16384
+
+#: gate combo -> the bundle that proves the combo compiles (the bundle IS
+#: that compiled program; the decode sections then execute it)
+_GATE_BUNDLES = {
+    "serve_pallas_b128": "decode_pallas_b128.jaxexe",
+    "serve_pallas_full_b128": "decode_pallas_full_b128.jaxexe",
+    "serve_pallas_b512": "decode_pallas_b512.jaxexe",
+    "serve_pallas_full_b512": "decode_pallas_full_b512.jaxexe",
+}
+
+
+def _train_cfgs(batch_size: int = 128, compute_dtype: str = "float32",
+                remat: bool = False, unroll_dur: int = 1,
+                frame_kernel: bool = False, fused=None, **_ignored):
+    """The (ModelConfig, TrainConfig) a train section benches — one
+    construction for measurement, coverage and export."""
+    import dataclasses
+
+    from pctd_tpu.config import ModelConfig, TrainConfig
+
+    mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
+                               remat_frames=remat, unroll_dur=unroll_dur,
+                               train_frame_kernel=frame_kernel,
+                               **({} if fused is None
+                                  else {"fused_loss": fused}))
+    return mcfg, TrainConfig(batch_size=batch_size)
+
+
+def _compute_aot_coverage():
+    """Fill _AOT_VALID (runtime-compatible bundle filenames) and
+    _AOT_COVERED (sections whose every compile-heavy program has a valid
+    bundle) from aot_bundles/manifest.json — meta-only, no multi-MB reads."""
+    from pctd_tpu.train import aot_steps
+    from pctd_tpu.utils import aot
+
+    manifest = aot.read_manifest(AOT_DIR)
+    if not manifest:
+        return
+    here = aot.runtime_meta()
+    src = aot.source_fingerprint()
+    for name, meta in manifest.items():
+        if not os.path.exists(os.path.join(AOT_DIR, name)):
+            continue
+        if any(meta.get(k) != here.get(k) for k in
+               ("jax_version", "platform", "device_kind", "num_devices")):
+            continue
+        if meta.get("source_fp") != src:
+            continue
+        _AOT_VALID.add(name)
+    if not _AOT_VALID:
+        return
+    for label, kw in _TRAIN_SECTION_KW.items():
+        keys = aot_steps.program_keys(*_train_cfgs(**kw))
+        need = {f"train_{k}_{v}.jaxexe" for k, v in keys.items()}
+        if need <= _AOT_VALID:
+            _AOT_COVERED.add(label)
+    if f"tensorize_bench_b{_TENSORIZE_BATCH}.jaxexe" in _AOT_VALID:
+        _AOT_COVERED.add("tensorize")
+    for backend, bs in (("pallas", 128), ("pallas_full", 128),
+                        ("xla", 128), ("pallas", 512),
+                        ("pallas_full", 512)):
+        if f"decode_{backend}_b{bs}.jaxexe" in _AOT_VALID:
+            _AOT_COVERED.add(f"decode_{backend}_b{bs}")
+    if {"encode_b128.jaxexe", "decode_pallas_b128.jaxexe"} <= _AOT_VALID:
+        _AOT_COVERED.add("serve_workflows")
+    if (set(_GATE_BUNDLES.values()) <= _AOT_VALID
+            and "train_b2048_frame_kernel" in _AOT_COVERED):
+        _AOT_COVERED.add("kernel_gate")
+
 
 _MIN_HEADROOM = 45.0
 
@@ -232,15 +410,45 @@ def _tree_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def _cache_program_files() -> list:
+    """Names of the compiled-program files currently in the cache dir (the
+    warm marker's own json is excluded)."""
+    try:
+        return sorted(n for n in os.listdir(os.path.dirname(WARM_MARKER))
+                      if not n.endswith(".json"))
+    except OSError:
+        return []
+
+
+_warm_invalid_reason = None
+
+
 def _load_warm_marker() -> dict:
+    """Accept the marker's self-tuned estimates only when (a) the package
+    sources are byte-identical to the recording run AND (b) every compiled
+    program the marker saw in the cache is still there. (b) is what makes a
+    mid-round cache wipe visible: round 4's driver run reported
+    warm_marker_matched=true while every compile was stone cold, because
+    the marker file survived the wipe that deleted the programs."""
+    global _warm_invalid_reason
     try:
         with open(WARM_MARKER) as f:
             m = json.load(f)
-        if m.get("fingerprint") == _FINGERPRINT:
-            return m.get("sections", {})
     except (OSError, ValueError):
-        pass
-    return {}
+        _warm_invalid_reason = "no marker"
+        return {}
+    if m.get("fingerprint") != _FINGERPRINT:
+        _warm_invalid_reason = "package sources changed since marker"
+        return {}
+    recorded = m.get("cache_files")
+    if recorded is not None:
+        missing = sorted(set(recorded) - set(_cache_program_files()))
+        if missing:
+            _warm_invalid_reason = (
+                f"{len(missing)}/{len(recorded)} compiled programs the "
+                "marker recorded are gone from the cache (wiped?)")
+            return {}
+    return m.get("sections", {})
 
 
 _FINGERPRINT = _tree_fingerprint()
@@ -252,7 +460,8 @@ def _warm_record(label: str, seconds: float):
     try:
         os.makedirs(os.path.dirname(WARM_MARKER), exist_ok=True)
         with open(WARM_MARKER, "w") as f:
-            json.dump({"fingerprint": _FINGERPRINT, "sections": _warm}, f)
+            json.dump({"fingerprint": _FINGERPRINT, "sections": _warm,
+                       "cache_files": _cache_program_files()}, f)
     except OSError:
         pass
 
@@ -260,6 +469,8 @@ def _warm_record(label: str, seconds: float):
 def _estimate(label: str) -> float:
     if label in _warm:
         return _warm[label] * 1.5 + 15.0
+    if label in _AOT_COVERED:
+        return _AOT_EST.get(label, 90.0)
     return _COLD_EST.get(label, 120.0)
 
 
@@ -304,32 +515,30 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
                       compute_dtype: str = "float32",
                       with_cost: bool = False, remat: bool = False,
                       unroll_dur: int = 1, frame_kernel: bool = False,
-                      seq_kernel: bool = False, fused: bool = None,
+                      fused: bool = None,
                       compile_label: str = None):
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pctd_tpu.config import ModelConfig, TrainConfig
     from pctd_tpu.train.trainer import init_state, make_train_step
     from pctd_tpu.data.synthetic import example_batch as _example_batch
 
     # note: with frame_kernel, remat_frames is functionally moot (the
     # kernel's backward recomputes on-chip) but keeps the analytic FLOPs
     # accounting correct — the recompute happens either way.
-    mcfg = dataclasses.replace(ModelConfig(), compute_dtype=compute_dtype,
-                               remat_frames=remat, unroll_dur=unroll_dur,
-                               train_frame_kernel=frame_kernel,
-                               train_seq_kernel=seq_kernel,
-                               **({} if fused is None
-                                  else {"fused_loss": fused}))
-    tcfg = TrainConfig(batch_size=batch_size)
+    mcfg, tcfg = _train_cfgs(batch_size=batch_size,
+                             compute_dtype=compute_dtype, remat=remat,
+                             unroll_dur=unroll_dur,
+                             frame_kernel=frame_kernel, fused=fused)
     state, tx = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
-    step = make_train_step(mcfg, tcfg, tx)
+    aot_exes, aot_skipped = {}, []
+    if os.path.isdir(AOT_DIR):
+        from pctd_tpu.train.aot_steps import load_train_step_exes
+        aot_exes, aot_skipped = load_train_step_exes(mcfg, tcfg, AOT_DIR)
+    step = make_train_step(mcfg, tcfg, tx, aot_exes=aot_exes or None)
 
     pr, chord, shift = _example_batch(batch_size, seed=0)
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
@@ -367,8 +576,7 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
         return (time.perf_counter() - t0) / n_steps
 
     label = f"train_b{batch_size}_{compute_dtype}" + \
-        ("_seq_kernel" if seq_kernel else
-         "_kernel" if frame_kernel else "")
+        ("_kernel" if frame_kernel else "")
     dt, spread = _median_time(chain, label)
 
     # per-step host-synced variant for reference
@@ -389,7 +597,9 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
             "batch_size": batch_size, "dtype": compute_dtype,
             "remat": remat, "flops_per_step": flops,
             "compile_seconds": compile_s, "rel_spread": round(spread, 4),
-            "accum_steps": auto_accum_steps(mcfg, tcfg)}
+            "accum_steps": auto_accum_steps(mcfg, tcfg),
+            "aot_programs": sorted(aot_exes) or None,
+            "aot_skipped": [list(s) for s in aot_skipped] or None}
 
 
 def _train_step_flops(mcfg, tcfg, *_unused):
@@ -451,18 +661,35 @@ def _train_step_flops(mcfg, tcfg, *_unused):
     return B * total
 
 
-def _bench_tensorize(batch_size: int = 16384, n_iters: int = 10):
+def tensorize_bench_fn():
+    """The tensorize section's jittable program — shared with
+    scripts/export_aot.py so the committed bundle is THIS program."""
+    from pctd_tpu.config import PianoTreeSpec
+    from pctd_tpu.data.tensorize import tensorize_batch
+
+    return lambda p, c, s: tensorize_batch(
+        p, c, s, spec=PianoTreeSpec(), with_detrend=True)
+
+
+def _bench_tensorize(batch_size: int = _TENSORIZE_BATCH, n_iters: int = 10):
     import jax
     import jax.numpy as jnp
 
-    from pctd_tpu.config import PianoTreeSpec
-    from pctd_tpu.data.tensorize import tensorize_batch
     from pctd_tpu.data.synthetic import example_batch as _example_batch
 
     pr, chord, shift = _example_batch(batch_size, seed=1)
     pr, chord, shift = jnp.asarray(pr), jnp.asarray(chord), jnp.asarray(shift)
-    f = jax.jit(lambda p, c, s: tensorize_batch(
-        p, c, s, spec=PianoTreeSpec(), with_detrend=True))
+    f = None
+    bundle = os.path.join(AOT_DIR, f"tensorize_bench_b{batch_size}.jaxexe")
+    if f"tensorize_bench_b{batch_size}.jaxexe" in _AOT_VALID:
+        from pctd_tpu.utils import aot
+        try:
+            f, _ = aot.load_exe(bundle)
+        except Exception:  # noqa: BLE001 — fall back to normal compile
+            traceback.print_exc(file=sys.stderr)
+            f = None
+    if f is None:
+        f = jax.jit(tensorize_bench_fn())
     t_compile = time.perf_counter()
     out = f(pr, chord, shift)
     float(out["x"][0, 0, 0, 0])
@@ -493,13 +720,20 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
     ``respread`` (VERDICT r3 item 7: the published B=512 rows carried a 29%
     contention spread) and the lower-spread pass is kept; every row carries
     its rel_spread.
+
+    The decode program is built through the SAME Sampler construction the
+    serving daemon uses, so a committed AOT bundle
+    (``decode_{backend}_b{batch}.jaxexe``, exported via Sampler.export_aot)
+    drops straight into the executable cache and the row measures the
+    deployed program with no compile. (This also aligns the xla row with
+    serving's ``unroll_dur=5`` variant — the program users actually run.)
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from pctd_tpu.config import ModelConfig
     from pctd_tpu.models import disentangle_vae as dv
+    from pctd_tpu.models.sampler import Sampler
 
     mcfg = ModelConfig()
     params = dv.init_params(jax.random.PRNGKey(0), mcfg)
@@ -507,10 +741,21 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
                               (batch_size, mcfg.chd_z_dim))
     z_rhy = jax.random.normal(jax.random.PRNGKey(2),
                               (batch_size, mcfg.txt_z_dim))
-    decode = jax.jit(partial(dv.decode_z, cfg=mcfg, frame_decoder=backend))
+    sampler = Sampler(params, mcfg, frame_decoder=backend)
+    aot_loaded = False
+    name = f"decode_{backend}_b{batch_size}.jaxexe"
+    if name in _AOT_VALID:
+        from pctd_tpu.utils import aot
+        try:
+            exe, _ = aot.load_exe(os.path.join(AOT_DIR, name))
+            sampler._compiled[(backend, batch_size)] = exe
+            aot_loaded = True
+        except Exception:  # noqa: BLE001 — fall back to normal compile
+            traceback.print_exc(file=sys.stderr)
+    decode = sampler._decode_degrading
     add = jax.jit(lambda a, e: a + e.sum())
     t_compile = time.perf_counter()
-    est = decode(params, z_chd=z_chd, z_rhy=z_rhy)
+    est = decode(z_chd, z_rhy)
     # sync via an on-device reduction — NEVER index/fetch the raw grid: it
     # carries the Mosaic tiled layout and de-tiles at ~4 KB/s through the
     # transfer path (minutes per sync; pctd_tpu/utils/host.py)
@@ -522,7 +767,7 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
         acc = jnp.zeros((), jnp.int32)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            e = decode(params, z_chd=z_chd, z_rhy=z_rhy)
+            e = decode(z_chd, z_rhy)
             acc = add(acc, e)
         float(acc)
         return (time.perf_counter() - t0) / n_iters
@@ -536,7 +781,8 @@ def _bench_sampler(backend: str, batch_size: int = 128, n_iters: int = 8,
             dt, spread = dt2, spread2
     return {"backend": backend, "batch_size": batch_size,
             "segments_per_sec": batch_size / dt,
-            "ms_per_batch": dt * 1e3, "rel_spread": round(spread, 4)}
+            "ms_per_batch": dt * 1e3, "rel_spread": round(spread, 4),
+            "aot_bundle": aot_loaded}
 
 
 def _bench_serve_workflows(fixed_batch: int = 128, repeats: int = 3):
@@ -571,8 +817,9 @@ def _bench_serve_workflows(fixed_batch: int = 128, repeats: int = 3):
 
     cfg = ModelConfig()
     model = DisentangleVAE.init_model(jax.random.PRNGKey(0), cfg)
+    aot_dir = AOT_DIR if "serve_workflows" in _AOT_COVERED else None
     sampler = Sampler(model.params, cfg, frame_decoder="pallas",
-                      fixed_batch=fixed_batch)
+                      fixed_batch=fixed_batch, aot_dir=aot_dir)
     server = serve_mod.Server(sampler, cfg.pianotree, max_windows=8, cfg=cfg)
 
     out = {}
@@ -614,29 +861,30 @@ def _bench_serve_workflows(fixed_batch: int = 128, repeats: int = 3):
     out["fixed_batch"] = fixed_batch
     out["backend"] = sampler.frame_decoder
 
-    # AOT cold-start (VERDICT r3 item 2): serialize the compiled serving
-    # executables, preload them into a FRESH sampler, and time one request —
-    # the daemon cold-start a deploy pays with `serve.py --aot-dir`.
-    # Recorded best-effort: a backend without executable serialization
-    # support records the error instead of failing the section.
+    # Deploy cold-start (VERDICT r4 item 7): preload the COMMITTED bundles
+    # (aot_bundles/, exported by scripts/export_aot.py) into a FRESH
+    # sampler and time one request — the daemon cold-start a fresh checkout
+    # pays with `serve.py --aot-dir aot_bundles`. Recorded best-effort: no
+    # valid bundles records the reason instead of failing the section.
     try:
-        with tempfile.TemporaryDirectory() as aot_tmp:
-            t0 = time.perf_counter()
-            sampler.export_aot(aot_tmp)
-            export_s = time.perf_counter() - t0
+        if "serve_workflows" not in _AOT_COVERED:
+            out["aot"] = {"error": "no compatible committed bundles "
+                          "(aot_bundles/ missing, stale, or wrong runtime)"}
+            return out
+        with tempfile.TemporaryDirectory() as tmp2:
             t0 = time.perf_counter()
             fresh = Sampler(model.params, cfg, frame_decoder="pallas",
-                            fixed_batch=fixed_batch, aot_dir=aot_tmp)
+                            fixed_batch=fixed_batch, aot_dir=AOT_DIR)
             preload_s = time.perf_counter() - t0
             server2 = serve_mod.Server(fresh, cfg.pianotree, max_windows=8,
                                        cfg=cfg)
             req = {"op": "variation", "input": mid_a, "scale": 0.5,
-                   "seed": 3, "out": os.path.join(aot_tmp, "v.mid")}
+                   "seed": 3, "out": os.path.join(tmp2, "v.mid")}
             t0 = time.perf_counter()
             resp = server2.handle(req)
             first_ms = (time.perf_counter() - t0) * 1e3
             out["aot"] = {
-                "export_s": round(export_s, 1),
+                "bundle_dir": "aot_bundles (committed)",
                 "preload_s": round(preload_s, 2),
                 "first_request_ms": round(first_ms, 1),
                 "loaded": len(fresh.aot_report["loaded"]),
@@ -658,11 +906,37 @@ def _run_kernel_gate():
     regression surfaces as a labeled gate failure and the affected decode
     rows are skipped instead of crashing mid-bench. Runs AFTER the headline
     sections: round 3 ran the full 8-entry matrix first and its 1,574 s of
-    cold compiles starved the driver's wall clock."""
+    cold compiles starved the driver's wall clock.
+
+    A combo whose committed AOT bundle is valid for this runtime is marked
+    ok WITHOUT compiling: the bundle IS that compiled program (built from
+    these exact sources on this device kind), and the decode/train sections
+    execute it — a lowering regression cannot hide behind it because a
+    source change invalidates the bundle's fingerprint and the combo
+    compiles here again."""
     from pctd_tpu.ops.pallas import smoke
 
-    results, ok = smoke.run_gate(serve_batches=(128, 512),
-                                 train_batches=(2048,))
+    results = {}
+    need = []
+    for label, bundle in _GATE_BUNDLES.items():
+        if bundle in _AOT_VALID:
+            results[label] = {"ok": True, "seconds": 0.0,
+                              "aot_bundle": bundle}
+        else:
+            need.append(label)
+    if "train_b2048_frame_kernel" in _AOT_COVERED:
+        results["train_frame_b2048"] = {"ok": True, "seconds": 0.0,
+                                        "aot_bundle": "train_grad (b2048)"}
+        train_batches = ()
+    else:
+        train_batches = (2048,)
+    if need or train_batches:
+        compiled, _ = smoke.run_gate(
+            serve_batches=(128, 512), train_batches=train_batches,
+            which=need + [f"train_frame_b{b}" for b in train_batches]
+            or None)
+        results.update(compiled)
+    ok = all(r.get("ok") for r in results.values())
     return {"ok": ok, "results": results}
 
 
@@ -719,6 +993,15 @@ def main():
     from pctd_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    if device_ok:
+        try:
+            _compute_aot_coverage()
+            print(f"[bench] AOT bundles: {len(_AOT_VALID)} valid, covering "
+                  f"{len(_AOT_COVERED)} sections: {sorted(_AOT_COVERED)}",
+                  file=sys.stderr, flush=True)
+        except Exception:  # noqa: BLE001 — coverage is an optimization only
+            traceback.print_exc(file=sys.stderr)
+
     if hasattr(signal, "SIGALRM"):
         def _alarm(_sig, _frm):
             raise _BenchTimeout()
@@ -742,22 +1025,23 @@ def main():
         _print_artifact()
         return
 
+    def train_sec(label, required=False, n_steps=12, with_cost=False):
+        return _section(label, _bench_train_step, required=required,
+                        n_steps=n_steps, with_cost=with_cost,
+                        compile_label=label, **_TRAIN_SECTION_KW[label])
+
     def measure():
         # 1) the headline: bf16 B=2048, fused train-frame Pallas kernel with
         # hand-written VJP + in-kernel reconstruction CE — always attempted.
-        R["big"] = _section(
-            "train_b2048_frame_kernel", _bench_train_step, required=True,
-            n_steps=8, batch_size=2048, compute_dtype="bfloat16",
-            with_cost=True, remat=True, frame_kernel=True,
-            compile_label="train_b2048_frame_kernel")
+        R["big"] = train_sec("train_b2048_frame_kernel", required=True,
+                             n_steps=8, with_cost=True)
         # 2) tensorization throughput (the 50k/s north star)
         R["tens"] = _section("tensorize", _bench_tensorize)
         # 3) canonical-parity B=128 bf16 (the reference's batch size)
-        R["b128_bf16"] = _section(
-            "train_b128_bf16", _bench_train_step, compute_dtype="bfloat16",
-            compile_label="train_b128_bf16")
-        # 4) driver-path kernel gate (serving backends; train_frame = cache
-        # hit after #1); failures mark decode rows to skip
+        R["b128_bf16"] = train_sec("train_b128_bf16")
+        # 4) driver-path kernel gate (serving backends; combos whose
+        # committed AOT bundle is valid are marked ok without compiling);
+        # failures mark decode rows to skip
         R["gate"] = _section("kernel_gate", _run_kernel_gate)
         # 5) serving decode matrix
         for backend, bs in (("pallas", 128), ("pallas_full", 128),
@@ -776,27 +1060,13 @@ def main():
         # 6) serving-workflow end-to-end latency
         R["serve"] = _section("serve_workflows", _bench_serve_workflows)
         # 7) remaining canonical/capability rows
-        R["b128_kernel"] = _section(
-            "train_b128_frame_kernel", _bench_train_step,
-            compute_dtype="bfloat16", remat=True, frame_kernel=True,
-            compile_label="train_b128_frame_kernel")
-        R["b128_f32"] = _section(
-            "train_b128_f32", _bench_train_step, compute_dtype="float32",
-            compile_label="train_b128_f32")
-        R["b4096"] = _section(
-            "train_b4096_auto_accum", _bench_train_step, n_steps=4,
-            batch_size=4096, compute_dtype="bfloat16", remat=True,
-            frame_kernel=True, compile_label="train_b4096_auto_accum")
+        R["b128_kernel"] = train_sec("train_b128_frame_kernel")
+        R["b128_f32"] = train_sec("train_b128_f32")
+        R["b4096"] = train_sec("train_b4096_auto_accum", n_steps=4)
         # 8) comparison rows: XLA scan path + logits-out kernel fallback
-        R["big_xla"] = _section(
-            "train_b2048_xla", _bench_train_step, n_steps=8,
-            batch_size=2048, compute_dtype="bfloat16", remat=True,
-            unroll_dur=5, compile_label="train_b2048_xla")
-        R["big_nofuse"] = _section(
-            "train_b2048_frame_kernel_nofuse", _bench_train_step, n_steps=8,
-            batch_size=2048, compute_dtype="bfloat16", remat=True,
-            frame_kernel=True, fused=False,
-            compile_label="train_b2048_frame_kernel_nofuse")
+        R["big_xla"] = train_sec("train_b2048_xla", n_steps=8)
+        R["big_nofuse"] = train_sec("train_b2048_frame_kernel_nofuse",
+                                    n_steps=8)
         # 9) CPU-mesh scaling smoke (subprocess, own device pool)
         R["multichip"] = _section("multichip_cpu_mesh",
                                   _bench_multichip_cpu_mesh)
@@ -818,10 +1088,31 @@ def _print_artifact():
     section dict holds. Idempotent (thread-safe single shot): called by the
     normal main() tail, by the watchdog thread when the main thread is
     wedged inside an uninterruptible device wait, and by the top-level
-    fallback — whichever fires first wins."""
-    if _PRINTED.is_set():
-        return
-    _PRINTED.set()
+    fallback — whichever fires first wins.
+
+    The printed flag is set only AFTER a successful print, under a lock
+    (ADVICE r4: setting it at entry meant a json.dumps failure exited 0
+    with NO artifact, and the watchdog + a SIGALRM-recovering main thread
+    could interleave two JSON lines)."""
+    with _PRINT_LOCK:
+        if _PRINTED[0]:
+            return
+        try:
+            line = _artifact_json()
+        except Exception as e:  # noqa: BLE001 — must still emit SOMETHING
+            traceback.print_exc(file=sys.stderr)
+            line = json.dumps({
+                "metric": "train_segments_per_sec_per_chip", "value": None,
+                "unit": "2-bar segments/sec/chip", "vs_baseline": None,
+                "extra": {"fatal": "artifact serialization failed: "
+                          f"{type(e).__name__}: {str(e)[:300]}",
+                          "failures": len(_failures)}})
+        print(line)
+        _PRINTED[0] = True
+
+
+def _artifact_json() -> str:
+    """Serialize the artifact from whatever the shared section dict holds."""
     R = _R
     baseline = _baseline_g
     warm_at_start = _warm_at_start
@@ -877,7 +1168,7 @@ def _print_artifact():
             out[k] = round(v, 5) if isinstance(v, float) else v
         return out
 
-    print(json.dumps({
+    return json.dumps({
         "metric": "train_segments_per_sec_per_chip",
         "value": round(big_best["segments_per_sec"], 2) if big_best else None,
         "unit": "2-bar segments/sec/chip (canonical VAE train step, bs="
@@ -919,7 +1210,9 @@ def _print_artifact():
             "budget": {"budget_s": BUDGET_S,
                        "elapsed_s": round(time.monotonic() - _T0, 1),
                        "skipped_for_budget": _skipped or None,
-                       "warm_marker_matched": warm_at_start},
+                       "warm_marker_matched": warm_at_start,
+                       "warm_marker_invalid_reason": _warm_invalid_reason,
+                       "aot_covered_sections": sorted(_AOT_COVERED) or None},
             "failures": _failures,
             # never call into jax here: when the watchdog prints this from
             # its own thread the device runtime may be the very thing that
@@ -939,7 +1232,7 @@ def _print_artifact():
                 if _spreads else None,
             },
         },
-    }))
+    }, default=str)
 
 
 if __name__ == "__main__":
@@ -947,15 +1240,16 @@ if __name__ == "__main__":
         main()
     except BaseException as e:  # noqa: BLE001 — the artifact must never null
         traceback.print_exc(file=sys.stderr)
-        if not _PRINTED.is_set():
-            _PRINTED.set()
-            print(json.dumps({
-                "metric": "train_segments_per_sec_per_chip",
-                "value": None,
-                "unit": "2-bar segments/sec/chip",
-                "vs_baseline": None,
-                "extra": {"fatal": f"{type(e).__name__}: {str(e)[:300]}",
-                          "failures": _failures,
-                          "progress": _progress},
-            }))
+        with _PRINT_LOCK:
+            if not _PRINTED[0]:
+                print(json.dumps({
+                    "metric": "train_segments_per_sec_per_chip",
+                    "value": None,
+                    "unit": "2-bar segments/sec/chip",
+                    "vs_baseline": None,
+                    "extra": {"fatal": f"{type(e).__name__}: {str(e)[:300]}",
+                              "failures": _failures,
+                              "progress": _progress},
+                }, default=str))
+                _PRINTED[0] = True
         raise SystemExit(0)

@@ -117,15 +117,13 @@ class ModelConfig:
     # checkpoint semantics — so remat_frames is moot on this path).
     train_frame_kernel: bool = False
 
-    # Fold the time-level GRU into the kernel too (ops/pallas/train_seq):
-    # the ENTIRE teacher-forced decode — all 32 frames — runs as ONE fused
-    # forward and ONE fused backward kernel, the time-GRU carry living in
-    # VMEM scratch across frames instead of a lax.scan carry in HBM, and all
-    # weights/weight-grad accumulators staying VMEM-resident across the
-    # sequence. Supersedes train_frame_kernel when set.
-    train_seq_kernel: bool = False
+    # (A whole-sequence kernel variant, train_seq_kernel, was built in
+    # rounds 2-4 and retired in round 5: it measured consistently SLOWER
+    # than the per-frame kernel (7,683 vs 7,786 seg/s at B=2048) while
+    # costing 680 LoC of maintenance — the negative result and its VMEM
+    # analysis are preserved in ARCHITECTURE.md "Retired experiments".)
 
-    # With train_seq_kernel OR train_frame_kernel: fuse the reconstruction
+    # With train_frame_kernel: fuse the reconstruction
     # cross-entropy INTO the kernel (models/pianotree_decoder.decode_recon).
     # The fwd kernel emits masked-CE numerator partials and the bwd computes
     # the logit cotangents in place from the targets, so the (B, T, K-1, P)

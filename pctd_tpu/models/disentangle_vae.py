@@ -108,7 +108,7 @@ def _forward_parts(params: dict, cfg: ModelConfig, key: jax.Array, x, c,
     """Everything of the teacher-forced forward EXCEPT the PianoTree decode:
     embeddings, encoders, z, teacher coins and the chord-decoder recon.
     Split out so loss() can route the decode into the fused decode+CE kernel
-    (train_seq loss mode) without duplicating — or reordering the RNG of —
+    (fused_loss mode) without duplicating — or reordering the RNG of —
     the surrounding graph."""
     spec = cfg.pianotree
     k_chd, k_rhy, k_coins, k_coin3 = jax.random.split(key, 4)
@@ -170,9 +170,9 @@ def loss(params: dict, cfg: ModelConfig, key: jax.Array, x, c, pr_mat,
     data-parallel loss/grad EXACTLY equal the single-program one. The other
     terms (chord CE, KL) are plain means over equal-sized shards, already
     exact under the caller's pmean."""
-    if cfg.fused_loss and (cfg.train_seq_kernel or cfg.train_frame_kernel):
-        # fused decode+CE: the kernel (whole-sequence or per-frame) emits
-        # masked-CE numerator partials and the logits never leave VMEM
+    if cfg.fused_loss and cfg.train_frame_kernel:
+        # fused decode+CE: the per-frame kernel emits masked-CE numerator
+        # partials and the logits never leave VMEM
         (p_cast, x_emb, lengths, dist_chd, dist_rhy, z, coins1, coins2,
          recon_chd) = _forward_parts(params, cfg, key, x, c, pr_mat, dt_x,
                                      tfr1, tfr2, tfr3, sample)

@@ -446,25 +446,6 @@ def decode(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     w_tok = p["time_gru"].w_ih[:tok_dim]
     gi_z = z_in @ p["time_gru"].w_ih[tok_dim:] + p["time_gru"].b_ih
 
-    if cfg.train_seq_kernel and not inference:
-        # whole-sequence fused kernel: time + note + dur levels in ONE
-        # forward and ONE backward pallas_call (ops/pallas/train_seq)
-        from pctd_tpu.ops.pallas.train_seq import seq_core, seq_weights
-
-        if jax.default_backend() != "tpu":
-            import warnings
-
-            warnings.warn(
-                "train_seq_kernel on a non-TPU backend runs the Pallas "
-                "kernels in INTERPRET mode — orders of magnitude slower "
-                "than the XLA path; intended for tests only", stacklevel=2)
-        interp = jax.default_backend() != "tpu"
-        c1_i = c1.astype(jnp.int32).reshape(T, 1)
-        c2_i = c2[:, 1:].astype(jnp.int32)
-        pitch, dur = seq_core(cfg, interp, seq_weights(p, cfg), h0, token0,
-                              gi_z, x_emb, x_summary, c1_i, c2_i)
-        return DecoderOutput(pitch, dur)
-
     use_kernel = cfg.train_frame_kernel and not inference
     if use_kernel:
         from pctd_tpu.ops.pallas.train_frame import core_weights, frame_core
@@ -538,7 +519,7 @@ def decode_recon(p: dict, cfg: ModelConfig, z: jnp.ndarray,
                  weights=(1.0, 0.5), weighted_dur: bool = False,
                  axis_name=None):
     """Teacher-forced decode FUSED with the reconstruction CE (fused-loss
-    mode of the train_seq OR train_frame kernel): the pitch/dur logits stay
+    mode of the train_frame kernel): the pitch/dur logits stay
     in VMEM and the kernel emits masked-CE numerator sums; the mean's
     denominators (mask counts) and the loss weighting stay in XLA.
     Semantics = decode() + recon_loss() (reference ptvae.py:430-491 +
@@ -562,43 +543,33 @@ def decode_recon(p: dict, cfg: ModelConfig, z: jnp.ndarray,
     gt_pitch = x[:, :, 1:, 0]
     gt_dur = x[:, :, 1:, 1:]
     interp = jax.default_backend() != "tpu"
-    if cfg.train_seq_kernel:
-        from pctd_tpu.ops.pallas.train_seq import (seq_recon_partials,
-                                                   seq_weights)
+    # per-frame kernel: the time-level GRU stays an XLA scan; each
+    # frame's kernel emits its CE numerator partials, summed in the
+    # scan carry (f32 adds; the loss value equals recon_loss to
+    # fp-reassociation)
+    from pctd_tpu.ops.pallas.train_frame import (core_weights,
+                                                 frame_recon_partials)
 
-        nums = seq_recon_partials(
-            cfg, interp, seq_weights(p, cfg), h0, token0, gi_z, x_emb,
-            x_summary, coins1.astype(jnp.int32).reshape(T, 1),
-            coins2[:, 1:].astype(jnp.int32), gt_pitch, gt_dur)
-    else:
-        # per-frame kernel: the time-level GRU stays an XLA scan; each
-        # frame's kernel emits its CE numerator partials, summed in the
-        # scan carry (f32 adds — order matches the seq kernel's grid
-        # accumulation over t per block up to reassociation; the loss
-        # value equals recon_loss to fp-reassociation either way)
-        from pctd_tpu.ops.pallas.train_frame import (core_weights,
-                                                     frame_recon_partials)
+    core_w = core_weights(p, cfg)
+    w_tok = p["time_gru"].w_ih[:tok_dim]
+    gt_pitch_t = jnp.swapaxes(gt_pitch, 0, 1).astype(jnp.int32)
+    gt_dur_t = jnp.swapaxes(gt_dur, 0, 1).astype(jnp.int32).reshape(
+        T, B, (K - 1) * W)
 
-        core_w = core_weights(p, cfg)
-        w_tok = p["time_gru"].w_ih[:tok_dim]
-        gt_pitch_t = jnp.swapaxes(gt_pitch, 0, 1).astype(jnp.int32)
-        gt_dur_t = jnp.swapaxes(gt_dur, 0, 1).astype(jnp.int32).reshape(
-            T, B, (K - 1) * W)
+    def step(carry, inp):
+        h, token, nums_acc = carry
+        x_sum_t, c1_t, c2_t, x_emb_t, gt_p_t, gt_d_t = inp
+        h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
+        kcoins = c2_t[1:].astype(jnp.int32)[:, None]
+        nums_t, pred_summary = frame_recon_partials(
+            cfg, interp, core_w, h, x_emb_t, kcoins, gt_p_t, gt_d_t)
+        token_next = jnp.where(c1_t, x_sum_t, pred_summary)
+        return (h, token_next, nums_acc + nums_t), None
 
-        def step(carry, inp):
-            h, token, nums_acc = carry
-            x_sum_t, c1_t, c2_t, x_emb_t, gt_p_t, gt_d_t = inp
-            h = gru_cell_pre(p["time_gru"], gi_z + token @ w_tok, h)
-            kcoins = c2_t[1:].astype(jnp.int32)[:, None]
-            nums_t, pred_summary = frame_recon_partials(
-                cfg, interp, core_w, h, x_emb_t, kcoins, gt_p_t, gt_d_t)
-            token_next = jnp.where(c1_t, x_sum_t, pred_summary)
-            return (h, token_next, nums_acc + nums_t), None
-
-        xs = (jnp.swapaxes(x_summary, 0, 1), coins1, coins2,
-              jnp.swapaxes(x_emb, 0, 1), gt_pitch_t, gt_dur_t)
-        (_, _, nums), _ = jax.lax.scan(
-            step, (h0, token0, jnp.zeros((1 + W,), jnp.float32)), xs)
+    xs = (jnp.swapaxes(x_summary, 0, 1), coins1, coins2,
+          jnp.swapaxes(x_emb, 0, 1), gt_pitch_t, gt_dur_t)
+    (_, _, nums), _ = jax.lax.scan(
+        step, (h0, token0, jnp.zeros((1 + W,), jnp.float32)), xs)
 
     den_p = (gt_pitch != spec.pitch_pad).sum()
     den_d = (gt_dur != spec.dur_pad).sum(axis=(0, 1, 2))        # (W,)

@@ -345,7 +345,7 @@ class Sampler:
         """
         from pctd_tpu.utils import aot
 
-        loaded, skipped = aot.load_dir(aot_dir)
+        loaded, skipped = aot.load_dir(aot_dir, kinds=("decode", "encode"))
         report = {"dir": aot_dir, "loaded": [],
                   "skipped": [list(s) for s in skipped]}
         for exe, meta in loaded:

@@ -56,7 +56,6 @@ def _compile_train(which: str, batch: int) -> None:
         ModelConfig(), compute_dtype="bfloat16",
         remat_frames=True,
         train_frame_kernel=(kernel == "train_frame"),
-        train_seq_kernel=(kernel == "train_seq"),
         fused_loss=(mode != "nofuse"))
     tcfg = TrainConfig(batch_size=batch)
     params = jax.eval_shape(
@@ -103,12 +102,13 @@ def run_gate(serve_batches: Iterable[int] = SERVE_BATCHES,
     Default matrix = DRIVER-PATH kernels only: the two serving decode
     backends plus the fused train-frame kernel (in-kernel CE — the headline
     train config). ``extended=True`` adds the non-default programs — the
-    logits-out ``nofuse`` fallback, the no-grad kernel ``eval`` primal
-    (unused since round 4: Trainer eval runs the XLA path), and the retired
-    ``train_seq`` whole-sequence kernel. Round 3's gate compiled all of
-    them unconditionally and alone cost 1,574 s on a cold cache
-    (BENCH_r03), starving the driver bench — the extras gate nothing the
-    default train/serve paths execute.
+    logits-out ``nofuse`` fallback and the no-grad kernel ``eval`` primal
+    (unused since round 4: Trainer eval runs the XLA path). Round 3's gate
+    compiled everything unconditionally and alone cost 1,574 s on a cold
+    cache (BENCH_r03), starving the driver bench — the extras gate nothing
+    the default train/serve paths execute. (The train_seq whole-sequence
+    kernel was deleted in round 5 — see ARCHITECTURE.md "Retired
+    experiments".)
     """
     from pctd_tpu.utils.cache import enable_compilation_cache
 
@@ -130,8 +130,6 @@ def run_gate(serve_batches: Iterable[int] = SERVE_BATCHES,
             jobs.append((f"train_frame_eval_b{b}",
                          functools.partial(
                              _compile_train, "train_frame:eval", b)))
-            jobs.append((f"train_seq_b{b}",
-                         functools.partial(_compile_train, "train_seq", b)))
     if which is not None:
         keep = tuple(which)
         jobs = [(lbl, fn) for lbl, fn in jobs

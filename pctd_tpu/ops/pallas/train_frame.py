@@ -317,7 +317,7 @@ def _fwd_kernel(spec: PianoTreeSpec, loss_mode: bool, *args):
     if loss_mode:
         # masked-CE numerator partials (pitch + one per dur bit), summed in
         # f32 over the block and accumulated across the batch grid; the
-        # logits stay in VMEM (same scheme as train_seq's fused-loss mode).
+        # logits stay in VMEM (fused-loss mode).
         # Denominators are mask counts the XLA caller computes from the
         # grid targets.
         ests, dur_logits = fwd[4], fwd[5]
@@ -357,7 +357,7 @@ _WNAMES = ("w_t2n", "b_t2n", "w_ih_frame", "w_ih_tok", "b_ih", "w_hh",
 
 
 # ---------------------------------------------------------------------------
-# in-kernel masked cross-entropy (fused-loss mode, ops/pallas/train_seq):
+# in-kernel masked cross-entropy (fused-loss mode):
 # same math as ops/losses._nll (f32 logsumexp - one-hot pick), computed in
 # VMEM on logits that never leave the kernel
 # ---------------------------------------------------------------------------
@@ -439,7 +439,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
                     loss_md=None, flush=lambda *names: None,
                     x_emb_rows=None):
     """Hand-differentiated frame backward, ref-free so the per-frame kernel
-    (_bwd_kernel) and the fused-sequence kernel (train_seq) share it.
+    (_bwd_kernel) shares it.
 
     wts: dict name -> weight ARRAY (see _WNAMES); coin_fn(k): slot k's
     scalar teacher coin; frame_h (B, TH); hs: the stashed serial chain
@@ -458,7 +458,7 @@ def _frame_bwd_core(spec: PianoTreeSpec, nh: int, wts, coin_fn, frame_h,
     (d_frame_h f32, d_x_rows — list of K (B, E) cotangent rows in compute
     dtype).
 
-    ``loss_md`` (fused-loss mode, train_seq._seq_bwd_kernel): d_pitch/d_dur
+    ``loss_md`` (fused-loss mode): d_pitch/d_dur
     are None and the logit cotangents are computed HERE from the rebuilt
     logits — the masked-CE gradient ``g * mask * (softmax(l) - onehot(gt))``
     — so logits never round-trip HBM. Keys: gt_pitch (KB, 1) i32,
@@ -1104,7 +1104,7 @@ frame_core.defvjp(_frame_core_fwd, _frame_core_bwd)
 
 # ---------------------------------------------------------------------------
 # fused-loss wrapper: CE numerators instead of logits (per-frame variant of
-# train_seq.seq_recon_partials — the time-level GRU stays an XLA scan)
+# the time-level GRU stays an XLA scan)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -139,10 +139,9 @@ def make_parallel_eval_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh: Mesh,
     # eval is gradient-free and off the throughput-critical path: run the
     # XLA scan path rather than paying the fused kernels' separate primal
     # Mosaic compile (see trainer.make_eval_step)
-    if mcfg.train_frame_kernel or mcfg.train_seq_kernel:
+    if mcfg.train_frame_kernel:
         import dataclasses
-        mcfg = dataclasses.replace(mcfg, train_frame_kernel=False,
-                                   train_seq_kernel=False)
+        mcfg = dataclasses.replace(mcfg, train_frame_kernel=False)
     axes = _axes_tuple(axis)
     bspec = P(axes)
     ce_axis = axes if exact_loss else None

@@ -84,8 +84,7 @@ def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
         return tcfg.accum_steps
     from pctd_tpu.utils import device_mem
 
-    base = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel
-                    or mcfg.train_seq_kernel) else 512
+    base = 2048 if (mcfg.remat_frames or mcfg.train_frame_kernel) else 512
     envelope = device_mem.scale_by_hbm(base)
     B = tcfg.batch_size
     ideal = max(1, -(-B // envelope))
@@ -102,21 +101,11 @@ def auto_accum_steps(mcfg: ModelConfig, tcfg: TrainConfig) -> int:
     return need
 
 
-def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation, split: bool = True):
-    """Returns (state, pr, chord, shift) -> (state, metrics), fully on device.
-
-    ``split=True`` (default) compiles the step as THREE programs —
-    tensorize, loss+grad, optimizer update — instead of one. All three stay
-    on device with no host sync between them (dispatch is async), so steady-
-    state throughput is identical; what it buys is compile time: this TPU
-    stack's compile latency grows superlinearly with program size (the fused
-    single program takes >20 min to compile vs ~7 min for grad alone), and
-    the three sub-programs are each individually cacheable.
-
-    ``split=False`` gives the single fused program (used by shard_map
-    multi-chip steps, where the collective must live with the grads).
-    """
+def _train_fns(mcfg: ModelConfig, tcfg: TrainConfig,
+               tx: optax.GradientTransformation):
+    """The un-jitted building blocks of the train step: returns
+    (effective_grad_fn, update_fn) where effective_grad_fn already wraps
+    gradient accumulation when ``auto_accum_steps`` resolves > 1."""
 
     def grad_fn(params, step, key, x, c, pr_mat, dt_x):
         sched = schedules.train_params_at(step, tcfg)
@@ -174,9 +163,51 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         return (jax.tree_util.tree_map(lambda t: t * inv, sum_m),
                 jax.tree_util.tree_map(lambda t: t * inv, sum_g))
 
-    effective_grad_fn = grad_accum_fn if accum > 1 else grad_fn
+    return (grad_accum_fn if accum > 1 else grad_fn), update_fn
 
+
+def make_train_programs(mcfg: ModelConfig, tcfg: TrainConfig,
+                        tx: optax.GradientTransformation) -> dict:
+    """The split train step's three independently-jitted programs (plus the
+    trivial key fold): {"tens", "grad", "upd", "fold"}.
+
+    Each is independently serializable via ``utils.aot`` (lower -> compile
+    -> serialize_executable), which is what lets a committed AOT bundle set
+    replace the multi-minute cold compile of the full step
+    (train.aot_steps; VERDICT r4 item 1)."""
+    effective_grad_fn, update_fn = _train_fns(mcfg, tcfg, tx)
+    return {
+        "tens": jax.jit(partial(batch_features, mcfg=mcfg)),
+        "grad": jax.jit(effective_grad_fn),
+        "upd": jax.jit(update_fn, donate_argnums=(0,)),
+        "fold": jax.jit(lambda key, step: jax.random.fold_in(key, step)),
+    }
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation, split: bool = True,
+                    aot_exes: Optional[dict] = None):
+    """Returns (state, pr, chord, shift) -> (state, metrics), fully on device.
+
+    ``split=True`` (default) compiles the step as THREE programs —
+    tensorize, loss+grad, optimizer update — instead of one. All three stay
+    on device with no host sync between them (dispatch is async), so steady-
+    state throughput is identical; what it buys is compile time: this TPU
+    stack's compile latency grows superlinearly with program size (the fused
+    single program takes >20 min to compile vs ~7 min for grad alone), and
+    the three sub-programs are each individually cacheable.
+
+    ``aot_exes`` (split mode only): preloaded AOT executables from
+    ``train.aot_steps.load_train_step_exes`` — any of {"tens", "grad",
+    "upd"} present replaces the corresponding jit program, skipping its
+    compile entirely.
+
+    ``split=False`` gives the single fused program (used by shard_map
+    multi-chip steps, where the collective must live with the grads).
+    """
     if not split:
+        effective_grad_fn, update_fn = _train_fns(mcfg, tcfg, tx)
+
         def fused(state: TrainState, pr, chord, shift):
             x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
             key = jax.random.fold_in(state.key, state.step)
@@ -186,10 +217,12 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
         return jax.jit(fused, donate_argnums=(0,))
 
-    tens_jit = jax.jit(partial(batch_features, mcfg=mcfg))
-    grad_jit = jax.jit(effective_grad_fn)
-    upd_jit = jax.jit(update_fn, donate_argnums=(0,))
-    fold_jit = jax.jit(lambda key, step: jax.random.fold_in(key, step))
+    progs = make_train_programs(mcfg, tcfg, tx)
+    if aot_exes:
+        progs = dict(progs, **{k: v for k, v in aot_exes.items()
+                               if k in ("tens", "grad", "upd")})
+    tens_jit, grad_jit = progs["tens"], progs["grad"]
+    upd_jit, fold_jit = progs["upd"], progs["fold"]
 
     def step_fn(state: TrainState, pr, chord, shift):
         x, c, pr_mat, dt_x = tens_jit(pr, chord, shift)
@@ -216,9 +249,8 @@ def make_eval_step(mcfg: ModelConfig, tcfg: TrainConfig):
     """
     import dataclasses
 
-    if mcfg.train_frame_kernel or mcfg.train_seq_kernel:
-        mcfg = dataclasses.replace(mcfg, train_frame_kernel=False,
-                                   train_seq_kernel=False)
+    if mcfg.train_frame_kernel:
+        mcfg = dataclasses.replace(mcfg, train_frame_kernel=False)
 
     def eval_fn(params, step, key, pr, chord, shift):
         x, c, pr_mat, dt_x = batch_features(pr, chord, shift, mcfg)
@@ -270,8 +302,7 @@ class Trainer:
         self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
         self.eval_step = make_eval_step(self.mcfg, self.tcfg)
         # one-shot Pallas-kernel -> XLA degrade (see _run_train_step)
-        self._kernel_fallback_armed = (self.mcfg.train_frame_kernel
-                                       or self.mcfg.train_seq_kernel)
+        self._kernel_fallback_armed = self.mcfg.train_frame_kernel
         self.train_counter = 0
         self.val_counter = 0
         # one stacked transfer per batch instead of 11 scalar host syncs
@@ -313,8 +344,7 @@ class Trainer:
                 f"({type(e).__name__}: {str(e)[:200]}); falling back to "
                 "the XLA scan path (gradient-parity tested, slower)")
             self.mcfg = dataclasses.replace(
-                self.mcfg, train_frame_kernel=False, train_seq_kernel=False,
-                remat_frames=True)
+                self.mcfg, train_frame_kernel=False, remat_frames=True)
             self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
             self.eval_step = make_eval_step(self.mcfg, self.tcfg)
             return self.train_step(self.state, pr, chord, shift)

@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--train-batches", type=int, nargs="*", default=None)
     ap.add_argument("--extended", action="store_true",
                     help="also gate the non-default programs (nofuse "
-                         "fallback, kernel eval primal, retired train_seq)")
+                         "fallback, kernel eval primal)")
     args = ap.parse_args()
 
     from pctd_tpu.ops.pallas import smoke

@@ -161,13 +161,13 @@ def test_parallel_eval_step():
 
 
 @pytest.mark.slow  # 8-shard interpret-mode kernel, ~5 min
-def test_mesh_loss_matches_single_device_seq_fused():
-    """The fused decode+CE kernel path (train_seq_kernel + fused_loss) under
-    shard_map with the exact psum(num)/psum(denom) reduction: sharded loss ==
-    single-program loss == XLA-path loss to float tolerance (the kernel's
-    CE numerator partials psum across the mesh like ops.losses' numerators).
-    """
-    SEQ = dataclasses.replace(SMALL, train_seq_kernel=True)
+def test_mesh_loss_matches_single_device_frame_fused():
+    """The fused decode+CE kernel path (train_frame_kernel + fused_loss)
+    under shard_map with the exact psum(num)/psum(denom) reduction: sharded
+    loss == single-program loss == XLA-path loss to float tolerance (the
+    kernel's CE numerator partials psum across the mesh like ops.losses'
+    numerators)."""
+    SEQ = dataclasses.replace(SMALL, train_frame_kernel=True)
     mesh = make_mesh(8)
     params, x, c, pr_mat, _ = _det_loss_setup()
     key = jax.random.PRNGKey(2)

@@ -304,16 +304,3 @@ def test_block_pickers():
     assert tf._pick_block_bwd(2048) == 128
     assert tf._pick_block_bwd(300) == 128   # zero-padded to 384
     assert tf._pick_block_bwd(64) == 64
-
-    # whole-sequence kernel: primal fwd 512, stash fwd 256 (512 measured
-    # 151.5M > 128M VMEM), bwd 128, fused-loss bwd 64 (128 measured 135.2M)
-    from pctd_tpu.ops.pallas import train_seq as ts
-
-    assert ts._pick_block_fwd(2048) == 512
-    assert ts._pick_block_fwd(2048, stash=True) == 256
-    assert ts._pick_block_fwd(2048, loss_mode=True) == 256
-    assert ts._pick_block_fwd(128, stash=True) == 128
-    assert ts._pick_block_bwd(2048) == 128
-    assert ts._pick_block_bwd(2048, loss_mode=True) == 64
-    assert ts._pick_block_bwd(64, loss_mode=True) == 64
-    assert ts._pick_block_bwd(8) == 8

@@ -280,7 +280,7 @@ def test_kernel_compile_failure_degrades_to_xla(corpora):
     train, val = corpora
     tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
     tl, vl = make_loaders(train, val, batch_size=8, seed=0)
-    mcfg = dataclasses.replace(SMALL, train_seq_kernel=True)
+    mcfg = dataclasses.replace(SMALL, train_frame_kernel=True)
     tr = Trainer(mcfg, tcfg, tl, vl)
     real_step = tr.train_step
 
@@ -297,7 +297,6 @@ def test_kernel_compile_failure_degrades_to_xla(corpora):
         out = tr.train_epoch()
     assert calls["n"] == 1                      # tried once, then rebuilt
     assert np.isfinite(out["loss"])
-    assert not tr.mcfg.train_seq_kernel
     assert not tr.mcfg.train_frame_kernel
     assert not tr._kernel_fallback_armed
 
@@ -317,7 +316,7 @@ def test_mosaic_lowering_failure_degrades_to_xla(corpora):
     train, val = corpora
     tcfg = dataclasses.replace(TrainConfig(), batch_size=8, n_epoch=1)
     tl, vl = make_loaders(train, val, batch_size=8, seed=0)
-    mcfg = dataclasses.replace(SMALL, train_seq_kernel=True)
+    mcfg = dataclasses.replace(SMALL, train_frame_kernel=True)
     tr = Trainer(mcfg, tcfg, tl, vl)
 
     def mosaic_exploding_step(state, pr, chord, shift):
@@ -329,10 +328,10 @@ def test_mosaic_lowering_failure_degrades_to_xla(corpora):
     with pytest.warns(UserWarning, match="falling back to the XLA"):
         out = tr.train_epoch()
     assert np.isfinite(out["loss"])
-    assert not tr.mcfg.train_seq_kernel
+    assert not tr.mcfg.train_frame_kernel
 
     # non-compile exception types propagate even while armed
-    tr2 = Trainer(dataclasses.replace(SMALL, train_seq_kernel=True),
+    tr2 = Trainer(dataclasses.replace(SMALL, train_frame_kernel=True),
                   tcfg, tl, vl)
 
     def value_error_step(state, pr, chord, shift):

@@ -68,10 +68,6 @@ def main():
                     help="decode with the fused train-frame Pallas kernel "
                          "(hand-written VJP; fastest on TPU, ~16%% over "
                          "the XLA scans at large batch)")
-    ap.add_argument("--seq-kernel", action="store_true",
-                    help="fold the time-level GRU into the kernel too: the "
-                         "whole 32-frame decode runs as ONE fused forward "
-                         "and ONE fused backward kernel")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="capture a jax.profiler trace of N early steps")
     args = ap.parse_args()
@@ -91,8 +87,7 @@ def main():
     mcfg = ModelConfig(txt_encoder=args.variant,
                        compute_dtype=args.compute_dtype,
                        remat_frames=args.remat,
-                       train_frame_kernel=args.frame_kernel,
-                       train_seq_kernel=args.seq_kernel)
+                       train_frame_kernel=args.frame_kernel)
     tcfg = TrainConfig(batch_size=args.batch_size, n_epoch=args.epochs,
                        lr=args.lr, beta=args.beta, clip_norm=args.clip,
                        seed=args.seed, sched_horizon=args.sched_horizon,
