@@ -295,11 +295,26 @@ class Trainer:
     # of epoch 0 into <run>/profile (SURVEY.md §5: the reference has no
     # tracing at all; wall-clock epoch time only)
     profile_steps: Optional[tuple] = None
+    # preload committed AOT executables (train/aot_steps) for this config's
+    # train programs — a fresh process starts stepping in seconds instead
+    # of paying the multi-minute first compile. Missing/incompatible
+    # bundles fall back to normal compilation per program.
+    aot_dir: Optional[str] = None
 
     def __post_init__(self):
         self.state, self.tx = init_state(
             jax.random.PRNGKey(self.tcfg.seed), self.mcfg, self.tcfg)
-        self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx)
+        aot_exes = None
+        if self.aot_dir:
+            from pctd_tpu.train.aot_steps import load_train_step_exes
+            aot_exes, skipped = load_train_step_exes(
+                self.mcfg, self.tcfg, self.aot_dir)
+            if aot_exes or skipped:
+                print(f"AOT preload: {sorted(aot_exes)} from {self.aot_dir}"
+                      + (f" (skipped: {[s[0] for s in skipped]})"
+                         if skipped else ""), flush=True)
+        self.train_step = make_train_step(self.mcfg, self.tcfg, self.tx,
+                                          aot_exes=aot_exes)
         self.eval_step = make_eval_step(self.mcfg, self.tcfg)
         # one-shot Pallas-kernel -> XLA degrade (see _run_train_step)
         self._kernel_fallback_armed = self.mcfg.train_frame_kernel

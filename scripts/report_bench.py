@@ -134,6 +134,15 @@ def render_readme_table(b: dict, baseline: dict) -> str:
                  f"(fixed_batch={serve.get('fixed_batch')}, "
                  f"{serve.get('backend')})",
                  "—", detail, "—"))
+        aot = serve.get("aot") or {}
+        if aot.get("cold_start_s") is not None:
+            rows.append(
+                ("serving daemon cold start, fresh process + committed AOT "
+                 "bundles (vs ~2-10 min of compiles without)",
+                 "—",
+                 f"{aot['cold_start_s']:.1f} s to first response "
+                 f"({aot['loaded']} programs preloaded)",
+                 "—"))
     lines = ["| metric | reference (torch, host CPU) | pctd_tpu | speedup |",
              "|---|---|---|---|"]
     for r in rows:
@@ -185,9 +194,15 @@ def render_arch_block(b: dict) -> str:
             lines.append(f"serve    : {op:<14s} p50 "
                          f"{serve[op]['p50_ms']:.0f} ms end-to-end "
                          f"({serve[op]['windows']} windows)")
+    aot = serve.get("aot") or {}
+    if aot.get("cold_start_s") is not None:
+        lines.append(f"serve    : cold start {aot['cold_start_s']:.1f} s "
+                     f"from committed AOT bundles ({aot['loaded']} programs)")
+    aot_cov = _get(e, "budget", "aot_covered_sections")
     for label, secs in sorted((e.get("compile_seconds") or {}).items()):
-        lines.append(f"compile  : {label:<28s} {secs:.0f} s (first call, "
-                     "cold cache)")
+        via_aot = aot_cov and label in aot_cov
+        lines.append(f"compile  : {label:<28s} {secs:.0f} s (first call"
+                     + (", AOT-preloaded" if via_aot else "") + ")")
     lines.append("```")
     return "\n".join(lines)
 

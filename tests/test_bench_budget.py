@@ -232,3 +232,57 @@ def test_kernel_gate_uses_bundles_without_compiling(bench, monkeypatch):
     assert out["results"]["serve_pallas_b128"]["aot_bundle"]
     assert out["results"]["serve_pallas_b512"]["seconds"] == 9.9
     assert out["results"]["train_frame_b2048"]["seconds"] == 0.0
+
+
+def _capture_artifact(bench, capsys):
+    bench._print_artifact()
+    out = capsys.readouterr().out.strip()
+    assert out.count("\n") == 0          # exactly ONE line
+    return json.loads(out)
+
+
+def test_print_artifact_single_shot_and_parseable(bench, capsys):
+    bench._R["big"] = {"segments_per_sec": 5000.0, "step_seconds": 0.4096,
+                       "batch_size": 2048, "flops_per_step": 2.5e13}
+    art = _capture_artifact(bench, capsys)
+    assert art["metric"] == "train_segments_per_sec_per_chip"
+    assert art["value"] == 5000.0
+    assert art["extra"]["mfu_bf16_analytic_matmul"] is not None
+    # second call is a no-op (single shot)
+    bench._print_artifact()
+    assert capsys.readouterr().out == ""
+
+
+def test_print_artifact_survives_serialization_failure(bench, capsys):
+    """ADVICE r4: a json.dumps failure must still print SOMETHING and only
+    then latch the printed flag — never exit silently with rc=0."""
+    bench._R["big"] = {"segments_per_sec": 1.0, "step_seconds": 1.0,
+                       "batch_size": 1, "flops_per_step": None}
+    bench._failures.append({"section": "x", "error": object()})  # unserializable...
+    art = _capture_artifact(bench, capsys)     # default=str handles it
+    assert art["value"] == 1.0
+
+    # force a genuine serialization explosion: _artifact_json raises
+    bench2 = bench
+    bench2._PRINTED[0] = False
+    orig = bench2._artifact_json
+    bench2._artifact_json = lambda: (_ for _ in ()).throw(TypeError("boom"))
+    try:
+        bench2._print_artifact()
+        out = capsys.readouterr().out.strip()
+        art = json.loads(out)
+        assert art["value"] is None
+        assert "artifact serialization failed" in art["extra"]["fatal"]
+        assert bench2._PRINTED[0]
+    finally:
+        bench2._artifact_json = orig
+
+
+def test_print_artifact_degrades_headline(bench, capsys):
+    """No kernel result -> xla row becomes the headline; none at all ->
+    value null with the failure note."""
+    bench._R["big_xla"] = {"segments_per_sec": 3000.0, "step_seconds": 0.68,
+                           "batch_size": 2048}
+    art = _capture_artifact(bench, capsys)
+    assert art["value"] == 3000.0
+    assert "XLA" in art["extra"]["throughput_config_note"]

@@ -70,6 +70,11 @@ def main():
                          "the XLA scans at large batch)")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="capture a jax.profiler trace of N early steps")
+    ap.add_argument("--aot-dir", default=None, metavar="DIR",
+                    help="preload committed AOT train executables "
+                         "(scripts/export_aot.py; e.g. aot_bundles) — "
+                         "skips the multi-minute first compile when the "
+                         "config matches a bundle")
     args = ap.parse_args()
 
     import jax
@@ -121,7 +126,7 @@ def main():
     trainer = Trainer(mcfg, tcfg, tl, vl, name=args.name, run_paths=paths,
                       writers=writers, log_every=args.log_every,
                       profile_steps=(2, 2 + args.profile) if args.profile
-                      else None)
+                      else None, aot_dir=args.aot_dir)
 
     if args.parallel and jax.device_count() > 1:
         from pctd_tpu.parallel import (make_mesh, make_parallel_train_step,
