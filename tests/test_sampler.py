@@ -212,7 +212,13 @@ def test_sampler_aot_export_preload_roundtrip(tmp_path):
     report = src.export_aot(str(tmp_path))
     assert {e["kind"] for e in report["exported"]} == {"decode", "encode"}
     files = sorted(p.name for p in tmp_path.iterdir())
-    assert files == ["decode_xla_b4.jaxexe", "encode_b4.jaxexe"]
+    assert files == ["decode_xla_b4.jaxexe", "encode_b4.jaxexe",
+                     "manifest.json"]
+    # the manifest mirrors each bundle's meta (schema 2)
+    from pctd_tpu.utils import aot as aot_mod
+    man = aot_mod.read_manifest(str(tmp_path))
+    assert set(man) == {"decode_xla_b4.jaxexe", "encode_b4.jaxexe"}
+    assert man["decode_xla_b4.jaxexe"]["backend"] == "xla"
 
     dst = Sampler(params, SMALL, frame_decoder="xla", fixed_batch=4,
                   aot_dir=str(tmp_path))
