@@ -86,3 +86,29 @@ def test_stretch_32bar_full_loss():
                              jnp.asarray(pm4), tfr1=0.5, tfr2=0.5, tfr3=0.5)
     assert np.isfinite(float(total))
     assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+@pytest.mark.slow  # interpret-mode kernel over 128 frames, ~2min
+def test_stretch_32bar_frame_kernel_loss_parity():
+    """The fused train-frame kernel at the 32-bar stretch T (num_step=128):
+    whole-VAE loss + all metrics must match the XLA scan path. Replaces the
+    stretch-T kernel coverage that lived in the retired whole-sequence
+    kernel's suite (the per-frame kernel is T-independent, but decode_recon's
+    scan over T frames and its partials accumulation are exercised at the
+    stretch length here)."""
+    cfg = _stretch_cfg()
+    fused = dataclasses.replace(cfg, train_frame_kernel=True)
+    assert fused.fused_loss
+    params = dv.init_params(jax.random.PRNGKey(2), cfg)
+    x, c, pr_mat = random_batch(2, seed=33)
+    x4 = np.tile(x, (1, 4, 1, 1))
+    c4 = np.tile(c, (1, 4, 1))
+    pm4 = np.tile(pr_mat, (1, 4, 1))
+    key = jax.random.PRNGKey(4)
+    _, mx = dv.loss(params, cfg, key, jnp.asarray(x4), jnp.asarray(c4),
+                    jnp.asarray(pm4), tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    _, mk = dv.loss(params, fused, key, jnp.asarray(x4), jnp.asarray(c4),
+                    jnp.asarray(pm4), tfr1=0.5, tfr2=0.5, tfr3=0.5)
+    for k in mx:
+        np.testing.assert_allclose(float(mk[k]), float(mx[k]), rtol=2e-5,
+                                   err_msg=k)
