@@ -260,11 +260,17 @@ _COLD_EST = {
     "train_b2048_frame_kernel": 1300.0,   # driver r04 observed 1265 s cold
     "tensorize": 90.0,
     "train_b128_bf16": 220.0,
-    "kernel_gate": 2400.0,    # r04 observed: 2123 s b512 outlier + siblings
+    # healthy-stack worst: 115+139+110+127 s serving compiles + ~200 s
+    # train_frame (round-5 fresh-compile measurements). Round 4 recorded a
+    # 2,123 s serve_pallas_b512 compile in this gate — reproduced fresh in
+    # round 5 at 109.9 s, so that reading was remote-compile-service/tunnel
+    # variance while the stack degraded toward that round's outage, not a
+    # Mosaic pathology (ARCHITECTURE.md "Compile-time variance").
+    "kernel_gate": 800.0,
     "decode_pallas_b128": 200.0,
     "decode_pallas_full_b128": 210.0,
     "decode_xla_b128": 160.0,
-    "decode_pallas_b512": 2200.0,         # r04 gate outlier, until explained
+    "decode_pallas_b512": 300.0,          # fresh-measured 109.9 s; see gate
     "decode_pallas_full_b512": 210.0,
     "serve_workflows": 260.0,
     "train_b128_frame_kernel": 200.0,
