@@ -561,9 +561,11 @@ def _bench_train_step(n_steps: int = 12, batch_size: int = 128,
     state, metrics = step(state, pr, chord, shift)
     float(metrics["loss"])
 
-    flops = None
-    if with_cost:
-        flops = _train_step_flops(mcfg, tcfg, tx, pr, chord, shift, state)
+    # analytic matmul FLOPs (hand-counted from config dims — free): always
+    # recorded so MFU computes for WHICHEVER B=2048 row wins the headline
+    # (the r5 cold run saw nofuse edge out fused and lose its MFU field).
+    del with_cost
+    flops = _train_step_flops(mcfg, tcfg, tx, pr, chord, shift, state)
 
     # steady-state: async chain of n_steps (each step's params feed the next,
     # so all steps really execute) with one final host sync — the per-step
@@ -677,7 +679,10 @@ def tensorize_bench_fn():
         p, c, s, spec=PianoTreeSpec(), with_detrend=True)
 
 
-def _bench_tensorize(batch_size: int = _TENSORIZE_BATCH, n_iters: int = 10):
+def _bench_tensorize(batch_size: int = _TENSORIZE_BATCH, n_iters: int = 30):
+    # n_iters=30 (round 5): at ~0.14 s/iter a 10-iter chain is ~1.4 s, small
+    # enough that remote-tunnel dispatch jitter alone produced 22-32% chain
+    # spreads that tripped the 'contended' sentinel on otherwise-clean runs.
     import jax
     import jax.numpy as jnp
 
@@ -1007,6 +1012,18 @@ def main():
                   file=sys.stderr, flush=True)
         except Exception:  # noqa: BLE001 — coverage is an optimization only
             traceback.print_exc(file=sys.stderr)
+        # Absorb the per-process first-sync tax BEFORE any timed section:
+        # the first host-synced fetch of this process pays the remote
+        # client/tunnel handshake — measured 43-270 s depending on tunnel
+        # state while every later fetch is milliseconds (round 5; the r4
+        # driver's 1,184 s "headline compile" was largely this plus real
+        # cold compiles). A trivial op pays it here so per-section
+        # compile_seconds reflect the sections, not the client.
+        def _client_warmup():
+            import jax.numpy as jnp
+            return float(jnp.ones((128, 128)).sum())
+
+        _guard("client_warmup", _client_warmup)
 
     if hasattr(signal, "SIGALRM"):
         def _alarm(_sig, _frm):
