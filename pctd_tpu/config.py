@@ -123,6 +123,13 @@ class ModelConfig:
     # costing 680 LoC of maintenance — the negative result and its VMEM
     # analysis are preserved in ARCHITECTURE.md "Retired experiments".)
 
+    # Round-5 measurement: with the CURRENT XLA stack the logits-out
+    # variant (fused_loss=False) consistently beats this fusion by ~2% at
+    # B=2048 (7,894 vs 7,728 seg/s over three runs) — the padded-DMA cost
+    # the fusion avoids has shrunk while its backward VMEM pressure
+    # remains. The default stays True for config stability; bench.py
+    # measures both and reports the faster as the headline
+    # (ARCHITECTURE.md "MFU ceiling").
     # With train_frame_kernel: fuse the reconstruction
     # cross-entropy INTO the kernel (models/pianotree_decoder.decode_recon).
     # The fwd kernel emits masked-CE numerator partials and the bwd computes

@@ -62,6 +62,19 @@ class Sampler:
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
+        # model-config identity for AOT bundles: a compiled serving program
+        # is weight-INDEPENDENT but shape-DEPENDENT — a bundle built for
+        # other model dims would be dispatched with mismatched avals
+        # (measured: a canonical-dims decode bundle preloaded into a tiny
+        # test config raised at dispatch, round 5). Bundles carry this
+        # fingerprint; preload_aot skips a mismatch.
+        import dataclasses as _dc
+        import hashlib as _hl
+        import json as _json
+
+        self._cfg_fp = _hl.sha256(_json.dumps(
+            _dc.asdict(cfg), sort_keys=True, default=str).encode()
+        ).hexdigest()[:12]
         if frame_decoder == "auto":
             if jax.devices()[0].platform == "tpu":
                 self._chain = list(AUTO_CHAIN)
@@ -165,8 +178,22 @@ class Sampler:
 
     def _decode_degrading(self, zc, zr):
         """One decode call: compile (with backend degrade) then execute
-        (execution errors propagate)."""
-        return self._compiled_decode(zc, zr)(self.params, zc, zr)
+        (execution errors propagate — EXCEPT an argument-aval mismatch,
+        which means a preloaded bundle without a cfg_fp was built for other
+        model dims: evict it and compile the real program)."""
+        exe = self._compiled_decode(zc, zr)
+        try:
+            return exe(self.params, zc, zr)
+        except TypeError as e:
+            if "compiled" not in str(e):
+                raise
+            import warnings
+
+            warnings.warn("preloaded decode bundle does not match this "
+                          "model's shapes; recompiling "
+                          f"({str(e)[:150]})")
+            self._compiled.pop((self.frame_decoder, zc.shape[0]), None)
+            return self._compiled_decode(zc, zr)(self.params, zc, zr)
 
     # -- core ------------------------------------------------------------------
 
@@ -201,11 +228,21 @@ class Sampler:
 
     def _encode_call(self, pm, cc, dd=None):
         """One encode program call, preferring an AOT-preloaded executable
-        when one matches this (batch, dt_x=None) shape."""
+        when one matches this (batch, dt_x=None) shape; an aval mismatch
+        (fingerprint-less bundle from other model dims) evicts + recompiles."""
         if dd is None:
             exe = self._encode_aot.get(int(pm.shape[0]))
             if exe is not None:
-                return exe(self.params, pr_mat=pm, c=cc, dt_x=None)
+                try:
+                    return exe(self.params, pr_mat=pm, c=cc, dt_x=None)
+                except TypeError as e:
+                    if "compiled" not in str(e):
+                        raise
+                    import warnings
+
+                    warnings.warn("preloaded encode bundle does not match "
+                                  "this model's shapes; recompiling")
+                    self._encode_aot.pop(int(pm.shape[0]), None)
         return self._encode(self.params, pr_mat=pm, c=cc, dt_x=dd)
 
     def encode(self, pr_mat, c, dt_x=None):
@@ -283,7 +320,8 @@ class Sampler:
             path = os.path.join(
                 out_dir, f"decode_{self.frame_decoder}_b{b}.jaxexe")
             aot.save_exe(exe, path, kind="decode",
-                         backend=self.frame_decoder, batch=b)
+                         backend=self.frame_decoder, batch=b,
+                         cfg_fp=self._cfg_fp)
             report["exported"].append(
                 {"kind": "decode", "backend": self.frame_decoder,
                  "batch": b, "path": path,
@@ -298,7 +336,8 @@ class Sampler:
                 self._encode.lower(self.params, pr_mat=pm, c=cc, dt_x=None))
             self._encode_aot[b] = enc
             path = os.path.join(out_dir, f"encode_b{b}.jaxexe")
-            aot.save_exe(enc, path, kind="encode", batch=b)
+            aot.save_exe(enc, path, kind="encode", batch=b,
+                         cfg_fp=self._cfg_fp)
             report["exported"].append(
                 {"kind": "encode", "batch": b, "path": path,
                  "compile_s": round(time.perf_counter() - t0, 1)})
@@ -351,6 +390,11 @@ class Sampler:
         for exe, meta in loaded:
             kind = meta.get("kind")
             b = int(meta.get("batch", 0))
+            if meta.get("cfg_fp") and meta["cfg_fp"] != self._cfg_fp:
+                report["skipped"].append(
+                    [f"{kind}_b{b}", "built for a different model config "
+                     f"(cfg_fp {meta['cfg_fp']} != {self._cfg_fp})"])
+                continue
             if kind == "decode":
                 backend = meta.get("backend")
                 if backend not in self._chain:

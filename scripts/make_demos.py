@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--midi-dir", default=None,
                     help="source segments from a corpus ingested from raw "
                          "MIDI files instead of the synthetic corpus")
+    ap.add_argument("--aot-dir", default=None, metavar="DIR",
+                    help="preload committed AOT serving executables "
+                         "(aot_bundles; skips decode/encode compiles when "
+                         "the runtime and fixed batch match a bundle)")
     ap.add_argument("--frame-decoder", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_full"],
                     help="'auto' picks the fastest backend for the device "
@@ -107,8 +111,12 @@ def main():
                                        seed=args.seed, cfg=dcfg)
     k = args.k
     # ONE compiled decode program for the whole matrix (batches pad/chunk)
+    # with committed bundles, serve at the bundle batch (128): 8x padded
+    # decode compute per call but ZERO compiles — right trade for a demo
+    # script; without bundles the small batch compiles faster.
     sampler = Sampler(model.params, cfg, frame_decoder=args.frame_decoder,
-                      fixed_batch=16)
+                      fixed_batch=128 if args.aot_dir else 16,
+                      aot_dir=args.aot_dir)
 
     def pick_segments(n):
         """n segments from n distinct songs where possible (the reference's

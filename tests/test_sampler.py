@@ -247,6 +247,38 @@ def test_sampler_aot_export_preload_roundtrip(tmp_path):
     assert s2.aot_report["loaded"] == []
     assert "not in this sampler's chain" in s2.aot_report["skipped"][0][1]
 
+    # a bundle built for DIFFERENT model dims must be skipped at preload
+    # (round-5 regression: a canonical-dims bundle preloaded into a tiny
+    # config dispatched with mismatched avals and crashed the demo script)
+    import dataclasses
+    other = dataclasses.replace(SMALL, dec_time_hidden=64)
+    p3 = dv.init_params(jax.random.PRNGKey(1), other)
+    s3 = Sampler(p3, other, frame_decoder="xla", fixed_batch=4,
+                 aot_dir=str(tmp_path))
+    assert s3.aot_report["loaded"] == []
+    reasons = " ".join(r for _, r in s3.aot_report["skipped"])
+    assert "different model config" in reasons
+    # and serving still works via normal compilation
+    x, c, pr_mat = random_batch(2, seed=91)
+    assert s3.reconstruct(pr_mat, c).shape[0] == 2
+
+    # a fingerprint-LESS wrong-dims bundle (pre-cfg_fp export) slips past
+    # preload but the dispatch-time aval check evicts it and recompiles
+    nofp_dir = tmp_path / "nofp"
+    nofp_dir.mkdir()
+    with open(tmp_path / "decode_xla_b4.jaxexe", "rb") as f:
+        bundle = pickle.load(f)
+    del bundle["meta"]["cfg_fp"]
+    with open(nofp_dir / "decode_xla_b4.jaxexe", "wb") as f:
+        pickle.dump(bundle, f)
+    s4 = Sampler(p3, other, frame_decoder="xla", fixed_batch=4,
+                 aot_dir=str(nofp_dir))
+    assert ("xla", 4) in s4._compiled          # preloaded (no fp to check)
+    with pytest.warns(UserWarning, match="does not match this model"):
+        out = s4.reconstruct(pr_mat, c)
+    assert out.shape[0] == 2
+    assert ("xla", 4) in s4._compiled          # replaced by a real compile
+
 
 def test_sampler_aot_incompatible_bundles_skipped(tmp_path):
     """Runtime-mismatched and corrupt bundles must be SKIPPED with a recorded
