@@ -272,6 +272,7 @@ _COLD_EST = {
     "decode_xla_b128": 160.0,
     "decode_pallas_b512": 300.0,          # fresh-measured 109.9 s; see gate
     "decode_pallas_full_b512": 210.0,
+    "decode_xla_b512": 160.0,
     "serve_workflows": 260.0,
     "train_b128_frame_kernel": 200.0,
     "train_b128_f32": 260.0,
@@ -294,6 +295,7 @@ _AOT_EST = {
     "decode_xla_b128": 60.0,
     "decode_pallas_b512": 90.0,
     "decode_pallas_full_b512": 90.0,
+    "decode_xla_b512": 90.0,
     "serve_workflows": 120.0,
     "train_b128_frame_kernel": 60.0,
     "train_b128_f32": 60.0,
@@ -388,7 +390,7 @@ def _compute_aot_coverage():
         _AOT_COVERED.add("tensorize")
     for backend, bs in (("pallas", 128), ("pallas_full", 128),
                         ("xla", 128), ("pallas", 512),
-                        ("pallas_full", 512)):
+                        ("pallas_full", 512), ("xla", 512)):
         if f"decode_{backend}_b{bs}.jaxexe" in _AOT_VALID:
             _AOT_COVERED.add(f"decode_{backend}_b{bs}")
     if {"encode_b128.jaxexe", "decode_pallas_b128.jaxexe"} <= _AOT_VALID:
@@ -1048,7 +1050,10 @@ def main():
         _print_artifact()
         return
 
-    def train_sec(label, required=False, n_steps=12, with_cost=False):
+    # n_steps=24 at B=128 (round 5): a 12-step chain is ~0.45 s, small
+    # enough that tunnel dispatch jitter alone produced 20-30% spreads
+    # that tripped the contention sentinel (same fix as tensorize).
+    def train_sec(label, required=False, n_steps=24, with_cost=False):
         return _section(label, _bench_train_step, required=required,
                         n_steps=n_steps, with_cost=with_cost,
                         compile_label=label, **_TRAIN_SECTION_KW[label])
@@ -1069,7 +1074,7 @@ def main():
         # 5) serving decode matrix
         for backend, bs in (("pallas", 128), ("pallas_full", 128),
                             ("xla", 128), ("pallas", 512),
-                            ("pallas_full", 512)):
+                            ("pallas_full", 512), ("xla", 512)):
             label = f"decode_{backend}_b{bs}"
             if backend != "xla" and not _gate_allows(
                     R["gate"], f"serve_{backend}_b{bs}"):
