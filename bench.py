@@ -139,7 +139,11 @@ def _probe_device_alive(timeout_s: float = 240.0) -> bool:
                     for ln in out if "DEVICE_OK" in ln)
         platform, _, info = rest.partition("|")
         platform, _device_info = platform.strip(), info.strip()
-        cpu_requested = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+        # only an EXPLICIT first-choice cpu counts: "tpu,cpu" is an
+        # allow-fallback setting, not a request to benchmark host CPU
+        first = os.environ.get(
+            "JAX_PLATFORMS", "").lower().split(",")[0].strip()
+        cpu_requested = first == "cpu"
         if platform == "cpu" and not cpu_requested:
             _emit_progress("device_probe", {
                 "ok": False, "seconds": round(time.perf_counter() - t0, 1),
@@ -179,7 +183,7 @@ def _start_watchdog():
                       "compile) — force-printing best-known artifact",
                       file=sys.stderr, flush=True)
                 try:
-                    _print_artifact()
+                    _print_artifact(lock_timeout=15.0)
                 except BaseException:  # noqa: BLE001 — emit SOMETHING
                     traceback.print_exc(file=sys.stderr)
                     with _PRINT_LOCK:
@@ -273,7 +277,7 @@ _COLD_EST = {
     "decode_pallas_b512": 300.0,          # fresh-measured 109.9 s; see gate
     "decode_pallas_full_b512": 210.0,
     "decode_xla_b512": 160.0,
-    "serve_workflows": 260.0,
+    "serve_workflows": 560.0,   # incl. the fresh-process cold-start probe
     "train_b128_frame_kernel": 200.0,
     "train_b128_f32": 260.0,
     "train_b4096_auto_accum": 400.0,
@@ -296,7 +300,7 @@ _AOT_EST = {
     "decode_pallas_b512": 90.0,
     "decode_pallas_full_b512": 90.0,
     "decode_xla_b512": 90.0,
-    "serve_workflows": 120.0,
+    "serve_workflows": 360.0,   # incl. the fresh-process cold-start probe
     "train_b128_frame_kernel": 60.0,
     "train_b128_f32": 60.0,
     "train_b4096_auto_accum": 120.0,
@@ -431,13 +435,27 @@ def _cache_program_files() -> list:
 _warm_invalid_reason = None
 
 
+def _runtime_marker() -> dict:
+    """Runtime identity for the warm marker: a jax upgrade or device-kind
+    change invalidates BOTH the AOT bundles and every persistent-cache
+    entry (XLA cache keys embed the compiler version), so warm estimates
+    recorded under another runtime must not survive it."""
+    try:
+        from pctd_tpu.utils import aot
+        return aot.runtime_meta()
+    except Exception:  # noqa: BLE001 — device init failure: no tuning
+        return {"unavailable": True}
+
+
 def _load_warm_marker() -> dict:
     """Accept the marker's self-tuned estimates only when (a) the package
-    sources are byte-identical to the recording run AND (b) every compiled
-    program the marker saw in the cache is still there. (b) is what makes a
-    mid-round cache wipe visible: round 4's driver run reported
-    warm_marker_matched=true while every compile was stone cold, because
-    the marker file survived the wipe that deleted the programs."""
+    sources are byte-identical to the recording run, (b) every compiled
+    program the marker saw in the cache is still there, and (c) the jax
+    runtime/device identity matches. (b) is what makes a mid-round cache
+    wipe visible: round 4's driver run reported warm_marker_matched=true
+    while every compile was stone cold, because the marker file survived
+    the wipe that deleted the programs; (c) closes the same masquerade for
+    a jax upgrade (cache files survive but are all misses)."""
     global _warm_invalid_reason
     try:
         with open(WARM_MARKER) as f:
@@ -447,6 +465,9 @@ def _load_warm_marker() -> dict:
         return {}
     if m.get("fingerprint") != _FINGERPRINT:
         _warm_invalid_reason = "package sources changed since marker"
+        return {}
+    if m.get("runtime") is not None and m["runtime"] != _runtime_marker():
+        _warm_invalid_reason = "jax runtime/device changed since marker"
         return {}
     recorded = m.get("cache_files")
     if recorded is not None:
@@ -469,7 +490,8 @@ def _warm_record(label: str, seconds: float):
         os.makedirs(os.path.dirname(WARM_MARKER), exist_ok=True)
         with open(WARM_MARKER, "w") as f:
             json.dump({"fingerprint": _FINGERPRINT, "sections": _warm,
-                       "cache_files": _cache_program_files()}, f)
+                       "cache_files": _cache_program_files(),
+                       "runtime": _runtime_marker()}, f)
     except OSError:
         pass
 
@@ -511,11 +533,17 @@ _spreads = []       # (label, rel_spread) of every timed section this run
 
 def _median_time(chain, label: str, repeats: int = REPEATS):
     """Run ``chain()`` (which must fully sync the device before returning)
-    ``repeats`` times; record spread; return (median, rel_spread)."""
+    ``repeats`` times; record spread; return (median, rel_spread).
+
+    ``_hostsync`` chains are excluded from the contention sentinel: they
+    deliberately sync the host EVERY step, so their spread measures remote
+    tunnel RTT jitter (20-45% on this stack), not machine contention — and
+    they were flagging otherwise-clean runs as CONTENDED."""
     times = [chain() for _ in range(repeats)]
     med = statistics.median(times)
     spread = (max(times) - min(times)) / med if med else 0.0
-    _spreads.append((label, spread))
+    if not label.endswith("_hostsync"):
+        _spreads.append((label, spread))
     return med, spread
 
 
@@ -902,13 +930,77 @@ def _bench_serve_workflows(fixed_batch: int = 128, repeats: int = 3):
                 "first_request_ms": round(first_ms, 1),
                 "loaded": len(fresh.aot_report["loaded"]),
                 "skipped": len(fresh.aot_report["skipped"]),
-                "cold_start_s": round(preload_s + first_ms / 1e3, 2),
+                # warm-process: this bench process's jax client is already
+                # initialized — see fresh_process below for the number a
+                # real daemon start pays
+                "cold_start_warm_process_s": round(
+                    preload_s + first_ms / 1e3, 2),
             }
             if not resp.get("ok", True):
                 out["aot"]["error"] = str(resp)
     except Exception as e:  # noqa: BLE001 — AOT support is best-effort here
         out["aot"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+
+    # the honest deploy number: a FRESH PROCESS (interpreter + jax client
+    # init + param init + bundle preload + first request) — a warm-process
+    # measurement understates what `serve.py --aot-dir` actually pays
+    # (review finding, round 5). Bounded by the remaining budget.
+    try:
+        out["aot"]["fresh_process"] = _serve_fresh_process_cold_start(
+            fixed_batch, mid_a)
+    except Exception as e:  # noqa: BLE001
+        out["aot"]["fresh_process"] = {
+            "error": f"{type(e).__name__}: {str(e)[:300]}"}
     return out
+
+
+def _serve_fresh_process_cold_start(fixed_batch: int, mid_a: str) -> dict:
+    """Time a serving-daemon cold start in a SUBPROCESS: everything a
+    deploy pays from `python serve.py --aot-dir` to the first response."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        code = (
+            "import json, os, sys, time\n"
+            "t_proc = time.perf_counter()\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "from pctd_tpu.utils.cache import enable_compilation_cache\n"
+            "enable_compilation_cache()\n"
+            "import importlib.util, jax\n"
+            "spec = importlib.util.spec_from_file_location('pctd_serve',\n"
+            f"    os.path.join({REPO!r}, 'scripts', 'serve.py'))\n"
+            "sm = importlib.util.module_from_spec(spec)\n"
+            "spec.loader.exec_module(sm)\n"
+            "from pctd_tpu.config import ModelConfig\n"
+            "from pctd_tpu.models.disentangle_vae import DisentangleVAE\n"
+            "from pctd_tpu.models.sampler import Sampler\n"
+            "cfg = ModelConfig()\n"
+            "model = DisentangleVAE.init_model(jax.random.PRNGKey(0), cfg)\n"
+            "t0 = time.perf_counter()\n"
+            "s = Sampler(model.params, cfg, frame_decoder='pallas',\n"
+            f"            fixed_batch={fixed_batch}, aot_dir={AOT_DIR!r})\n"
+            "preload_s = time.perf_counter() - t0\n"
+            "srv = sm.Server(s, cfg.pianotree, max_windows=8, cfg=cfg)\n"
+            f"req = dict(op='variation', input={mid_a!r}, scale=0.5,\n"
+            f"           seed=3, out=os.path.join({tmp!r}, 'v.mid'))\n"
+            "t0 = time.perf_counter()\n"
+            "resp = srv.handle(req)\n"
+            "print('FRESH', json.dumps({\n"
+            "    'process_to_first_response_s':\n"
+            "        round(time.perf_counter() - t_proc, 2),\n"
+            "    'preload_s': round(preload_s, 2),\n"
+            "    'first_request_s': round(time.perf_counter() - t0, 2),\n"
+            "    'loaded': len(s.aot_report['loaded']),\n"
+            "    'ok': bool(resp.get('ok', True))}))\n")
+        budget = max(60, min(420, int(_remaining() - 30)))
+        proc = subprocess.run([sys.executable, "-u", "-c", code],
+                              capture_output=True, text=True,
+                              timeout=budget, cwd=REPO)
+    for ln in proc.stdout.strip().splitlines():
+        if ln.startswith("FRESH "):
+            return json.loads(ln[6:])
+    return {"error": f"rc={proc.returncode}: {proc.stderr[-300:]}"}
 
 
 def _run_kernel_gate():
@@ -1111,7 +1203,7 @@ def main():
     _print_artifact()
 
 
-def _print_artifact():
+def _print_artifact(lock_timeout: float | None = None):
     """Print the ONE JSON artifact line from whatever state the shared
     section dict holds. Idempotent (thread-safe single shot): called by the
     normal main() tail, by the watchdog thread when the main thread is
@@ -1121,8 +1213,22 @@ def _print_artifact():
     The printed flag is set only AFTER a successful print, under a lock
     (ADVICE r4: setting it at entry meant a json.dumps failure exited 0
     with NO artifact, and the watchdog + a SIGALRM-recovering main thread
-    could interleave two JSON lines)."""
-    with _PRINT_LOCK:
+    could interleave two JSON lines).
+
+    ``lock_timeout`` (watchdog path): if the lock cannot be acquired —
+    the main thread is wedged INSIDE its own print (e.g. a full stdout
+    pipe) — emit the minimal artifact lock-free instead of blocking
+    forever in the very thread whose job is to guarantee an exit."""
+    got = (_PRINT_LOCK.acquire(timeout=lock_timeout)
+           if lock_timeout is not None else _PRINT_LOCK.acquire())
+    if not got:
+        print(json.dumps({
+            "metric": "train_segments_per_sec_per_chip", "value": None,
+            "unit": "2-bar segments/sec/chip", "vs_baseline": None,
+            "extra": {"fatal": "watchdog: print lock held by a wedged "
+                      "main thread"}}), flush=True)
+        return
+    try:
         if _PRINTED[0]:
             return
         try:
@@ -1137,6 +1243,8 @@ def _print_artifact():
                           "failures": len(_failures)}})
         print(line)
         _PRINTED[0] = True
+    finally:
+        _PRINT_LOCK.release()
 
 
 def _artifact_json() -> str:

@@ -107,15 +107,21 @@ def export_serving(out_dir: str, report: dict,
     cfg = ModelConfig()
     params = dv.init_params(jax.random.PRNGKey(0), cfg)
     for i, backend in enumerate(backends):
-        todo = [b for b in batches if not os.path.exists(os.path.join(
-            out_dir, f"decode_{backend}_b{b}.jaxexe"))]
+        # a batch needs (re)export when EITHER its decode or its encode
+        # bundle is missing (a crash between the two must be resumable —
+        # keying on decode alone left missing encode bundles unrecoverable)
+        todo = [b for b in batches
+                if not os.path.exists(os.path.join(
+                    out_dir, f"decode_{backend}_b{b}.jaxexe"))
+                or not os.path.exists(os.path.join(
+                    out_dir, f"encode_b{b}.jaxexe"))]
         if not todo:
             _log(f"decode_{backend}: all batches exist, skipping")
             continue
         sampler = Sampler(params, cfg, frame_decoder=backend)
-        # encode is batch-keyed, backend-independent — export it once
-        # (export_aot writes encode alongside decode for 1-chip samplers;
-        # pre-existing encode files are cheap to overwrite but skip anyway)
+        # export_aot writes encode alongside decode for 1-chip samplers;
+        # an already-present decode file in `todo` is recompiled — cheap
+        # relative to leaving the pair incomplete
         _log(f"{backend}: exporting batches {todo}")
         r = sampler.export_aot(out_dir, batches=todo)
         report.setdefault("serving", []).append(

@@ -113,10 +113,23 @@ def main():
     # ONE compiled decode program for the whole matrix (batches pad/chunk)
     # with committed bundles, serve at the bundle batch (128): 8x padded
     # decode compute per call but ZERO compiles — right trade for a demo
-    # script; without bundles the small batch compiles faster.
-    sampler = Sampler(model.params, cfg, frame_decoder=args.frame_decoder,
-                      fixed_batch=128 if args.aot_dir else 16,
-                      aot_dir=args.aot_dir)
+    # script. Only commit to the big batch if bundles actually PRELOAD
+    # (wrong runtime / tiny config / stale sources all skip them — then a
+    # B=128 program would mean a multi-minute compile AND 8x padded work,
+    # strictly worse than the plain B=16 path).
+    sampler = None
+    if args.aot_dir:
+        sampler = Sampler(model.params, cfg,
+                          frame_decoder=args.frame_decoder,
+                          fixed_batch=128, aot_dir=args.aot_dir)
+        if not sampler.aot_report["loaded"]:
+            print(f"no usable AOT bundles in {args.aot_dir} "
+                  f"(skipped: {len(sampler.aot_report['skipped'])}) — "
+                  "compiling at the small batch instead")
+            sampler = None
+    if sampler is None:
+        sampler = Sampler(model.params, cfg,
+                          frame_decoder=args.frame_decoder, fixed_batch=16)
 
     def pick_segments(n):
         """n segments from n distinct songs where possible (the reference's

@@ -290,3 +290,57 @@ def test_print_artifact_degrades_headline(bench, capsys):
     art = _capture_artifact(bench, capsys)
     assert art["value"] == 3000.0
     assert "XLA" in art["extra"]["throughput_config_note"]
+
+
+def test_warm_marker_invalidated_by_runtime_change(bench, tmp_path,
+                                                   monkeypatch):
+    """A jax upgrade / device change invalidates the persistent cache and
+    the bundles but leaves the cache FILES on disk — the marker must not
+    survive it either (round-5 review finding)."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    bench.WARM_MARKER = str(cache / "bench_warm.json")
+    monkeypatch.setattr(bench, "_runtime_marker",
+                        lambda: {"jax_version": "1", "device_kind": "k"})
+    bench._warm_record("tensorize", 30.0)
+    assert bench._load_warm_marker() == {"tensorize": 30.0}
+    monkeypatch.setattr(bench, "_runtime_marker",
+                        lambda: {"jax_version": "2", "device_kind": "k"})
+    assert bench._load_warm_marker() == {}
+    assert "runtime/device changed" in bench._warm_invalid_reason
+
+
+def test_watchdog_print_does_not_block_on_held_lock(bench, capsys):
+    """If the main thread wedges INSIDE print while holding the print
+    lock, the watchdog path must emit an emergency artifact instead of
+    blocking forever (round-5 review finding)."""
+    bench._PRINT_LOCK.acquire()     # simulate wedged main thread
+    try:
+        bench._print_artifact(lock_timeout=0.1)
+        out = capsys.readouterr().out.strip()
+        art = json.loads(out)
+        assert art["value"] is None
+        assert "wedged" in art["extra"]["fatal"]
+        assert not bench._PRINTED[0]   # real artifact may still print later
+    finally:
+        bench._PRINT_LOCK.release()
+
+
+def test_cpu_fallback_guard_requires_explicit_first_choice(bench,
+                                                           monkeypatch):
+    """JAX_PLATFORMS='tpu,cpu' is allow-fallback, not a request to publish
+    CPU numbers — only an explicit first-choice 'cpu' passes the guard."""
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        class R:
+            returncode = 0
+            stdout = "DEVICE_OK cpu | CpuDevice(id=0)\n"
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu,cpu")
+    assert bench._probe_device_alive(1.0) is False
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._probe_device_alive(1.0) is True

@@ -70,11 +70,12 @@ def main():
                          "the XLA scans at large batch)")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="capture a jax.profiler trace of N early steps")
-    ap.add_argument("--aot-dir", default=None, metavar="DIR",
+    ap.add_argument("--aot-dir", default="auto", metavar="DIR",
                     help="preload committed AOT train executables "
-                         "(scripts/export_aot.py; e.g. aot_bundles) — "
-                         "skips the multi-minute first compile when the "
-                         "config matches a bundle")
+                         "(scripts/export_aot.py) — skips the multi-minute "
+                         "first compile when the config matches a bundle. "
+                         "Default 'auto' = repo aot_bundles/ (or "
+                         "$PCTD_AOT_DIR) when present; 'none' disables")
     args = ap.parse_args()
 
     import jax
@@ -123,10 +124,18 @@ def main():
     paths = RunPaths(readme_fn=__file__, base_dir=args.result_dir)
     writers = MetricWriters(METRIC_NAMES, paths.writer_path)
 
+    if args.aot_dir == "auto":
+        from pctd_tpu.train.aot_steps import default_aot_dir
+        aot_dir = default_aot_dir()
+    elif args.aot_dir in ("none", ""):
+        aot_dir = None
+    else:
+        aot_dir = args.aot_dir
+
     trainer = Trainer(mcfg, tcfg, tl, vl, name=args.name, run_paths=paths,
                       writers=writers, log_every=args.log_every,
                       profile_steps=(2, 2 + args.profile) if args.profile
-                      else None, aot_dir=args.aot_dir)
+                      else None, aot_dir=aot_dir)
 
     if args.parallel and jax.device_count() > 1:
         from pctd_tpu.parallel import (make_mesh, make_parallel_train_step,
