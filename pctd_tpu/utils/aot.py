@@ -54,10 +54,18 @@ _SAFE_MODULE_PREFIXES = (
 )
 
 
+_SOURCE_FP_CACHE = []
+
+
 def source_fingerprint() -> str:
     """Content hash of every ``pctd_tpu`` source file — the same
     invalidation granularity as the persistent compile cache. Bundles pin
-    this at export; load_exe rejects a mismatch (stale executable)."""
+    this at export; load_exe rejects a mismatch (stale executable).
+    Memoized per process (a bundle-dir load calls this once per file, and
+    the tree cannot change under a running process's already-imported
+    modules anyway)."""
+    if _SOURCE_FP_CACHE:
+        return _SOURCE_FP_CACHE[0]
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     for root, _, files in sorted(os.walk(pkg)):
@@ -70,7 +78,8 @@ def source_fingerprint() -> str:
             h.update(os.path.relpath(p, pkg).encode())
             with open(p, "rb") as f:
                 h.update(f.read())
-    return h.hexdigest()[:16]
+    _SOURCE_FP_CACHE.append(h.hexdigest()[:16])
+    return _SOURCE_FP_CACHE[0]
 
 
 class AotMismatch(RuntimeError):
@@ -175,25 +184,34 @@ def load_exe(path: str, strict_keys: Tuple[str, ...] = (
     this runtime (callers treat that as "recompile instead", not an error),
     or when the bundle's ``source_fp`` no longer matches the package
     sources (stale executable)."""
-    from jax.experimental import serialize_executable as se
-
     with open(path, "rb") as f:
         bundle = _loads(f.read())
+    return _load_bundle(bundle, os.path.basename(path), strict_keys)
+
+
+def _load_bundle(bundle: dict, name: str, strict_keys: Tuple[str, ...] = (
+        "jax_version", "platform", "device_kind", "num_devices")):
+    """Compatibility-check ``bundle``'s meta, THEN decompress + deserialize
+    its payload (the expensive device-loading step) — split from
+    :func:`load_exe` so directory scans can reject by meta without paying
+    for payloads they will discard."""
+    from jax.experimental import serialize_executable as se
+
     meta = bundle["meta"]
-    if "payload_z" in bundle:
-        payload = _loads(zlib.decompress(bundle["payload_z"]))
-    else:
-        payload = bundle["payload"]        # schema 1
     here = runtime_meta()
     for k in strict_keys:
         if meta.get(k) != here.get(k):
             raise AotMismatch(
-                f"{os.path.basename(path)}: {k}={meta.get(k)!r} but this "
+                f"{name}: {k}={meta.get(k)!r} but this "
                 f"runtime has {here.get(k)!r}")
     if meta.get("source_fp") and meta["source_fp"] != source_fingerprint():
         raise AotMismatch(
-            f"{os.path.basename(path)}: package sources changed since "
+            f"{name}: package sources changed since "
             "export (stale executable)")
+    if "payload_z" in bundle:
+        payload = _loads(zlib.decompress(bundle["payload_z"]))
+    else:
+        payload = bundle["payload"]        # schema 1
     execution_devices = None
     if meta.get("exe_device_ids") is not None:
         import jax
@@ -203,7 +221,7 @@ def load_exe(path: str, strict_keys: Tuple[str, ...] = (
             execution_devices = [by_id[i] for i in meta["exe_device_ids"]]
         except KeyError as e:
             raise AotMismatch(
-                f"{os.path.basename(path)}: compiled for device id {e} "
+                f"{name}: compiled for device id {e} "
                 f"absent from this host") from None
     return se.deserialize_and_load(
         *payload, execution_devices=execution_devices), meta
@@ -230,10 +248,19 @@ def load_dir(aot_dir: str, kinds=None) -> Tuple[list, list]:
         if (kinds is not None and name in manifest
                 and manifest[name].get("kind") is not None
                 and manifest[name]["kind"] not in kinds):
-            continue    # manifest filter: skip without reading multi-MB file
+            continue    # manifest filter: skip without reading the file
         path = os.path.join(aot_dir, name)
         try:
-            exe, meta = load_exe(path)
+            with open(path, "rb") as f:
+                bundle = _loads(f.read())
+            # kind filter on the cheap meta dict BEFORE the expensive
+            # decompress + deserialize-onto-device step — without a
+            # manifest, a serving daemon must not pay to load the train
+            # bundles it is about to discard
+            if (kinds is not None
+                    and bundle.get("meta", {}).get("kind") not in kinds):
+                continue
+            exe, meta = _load_bundle(bundle, name)
         except AotMismatch as e:
             skipped.append((name, str(e)))
             continue
@@ -241,8 +268,6 @@ def load_dir(aot_dir: str, kinds=None) -> Tuple[list, list]:
             warnings.warn(f"AOT bundle {name} unreadable: "
                           f"{type(e).__name__}: {e}")
             skipped.append((name, f"{type(e).__name__}: {str(e)[:200]}"))
-            continue
-        if kinds is not None and meta.get("kind") not in kinds:
             continue
         loaded.append((exe, meta))
     return loaded, skipped
